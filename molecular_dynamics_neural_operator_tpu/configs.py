@@ -1,0 +1,179 @@
+"""Dataclass configuration for the whole framework.
+
+One explicit config object per subsystem, replacing the reference's argparse
+namespace that leaks into model code as a module global
+(``/root/reference/graph_kernel.py:279-282,312-359``). CLI entry points map
+flag names and defaults 1:1 onto these dataclasses for capability parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """GKN operator hyperparameters.
+
+    Defaults mirror ``graph_kernel.py:314-344``: width 64, kernel_width 1024,
+    depth 6, node_features 7, edge_features 6, 20 amino-acid embeddings of
+    dim 4, 3-d coordinate output.
+    """
+
+    width: int = 64
+    ker_width: int = 1024
+    depth: int = 6
+    edge_features: int = 6
+    node_features: int = 7
+    out_width: int = 3
+    num_embeddings: int = 20
+    embedding_dim: int = 4
+    x_position_dim: int = 3
+    window_size: int = 10
+    num_residues: int = 28
+    # Graph representation: "dense" = all-pairs masked adjacency (best on TPU
+    # for small proteins: zero gather/scatter, everything is a matmul);
+    # "sparse" = fixed-capacity padded edge lists (scales to ~10k atoms).
+    graph_mode: str = "dense"
+    max_edges: int = 384  # capacity for sparse mode (BBA has ~180 real edges)
+    # True (reference parity): conv1 and conv2 share ONE edge-kernel MLP
+    # (graph_kernel.py:271-273 passes the same DenseNet to both convs).
+    tie_edge_kernel: bool = True
+    # bf16 matmuls with f32 accumulation on the MXU; params stay f32.
+    compute_dtype: str = "bfloat16"
+    # "pallas" fuses the weight-tied conv stack into one TPU kernel;
+    # "xla" is the pure jnp path (also the CPU-test path).
+    conv_impl: str = "xla"
+
+
+@dataclass(frozen=True)
+class FNOConfig:
+    """FNO spectral-conv variant on distance-matrix trajectories.
+
+    (BASELINE.json config 2 — no reference implementation exists; this is a
+    new TPU-native operator family on the XLA FFT path.)
+    """
+
+    width: int = 32
+    modes1: int = 12
+    modes2: int = 12
+    depth: int = 4
+    in_channels: int = 10  # window of distance matrices as channels
+    out_channels: int = 1
+    num_residues: int = 28
+    compute_dtype: str = "float32"  # FFT path stays f32
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Trajectory dataset parameters (``dataset.py:56-105`` parity)."""
+
+    data_path: str = ""
+    node_features_path: Optional[str] = None
+    edge_index_dset_name: str = "contact_map"
+    edge_attr_dset_name: str = "point_cloud"
+    node_feature_dset_name: str = "amino_acids"
+    window_size: int = 10
+    horizon: int = 1
+    threshold: float = 8.0  # contact threshold in Angstrom
+    split_pct: float = 0.8
+    split_method: str = "partition"  # or "random"
+    # Build graphs from stored contact maps (reference training semantics)
+    # or recompute from coordinates on device (reference rollout semantics).
+    use_stored_contact_maps: bool = True
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training-loop parameters (``graph_kernel.py:314-344`` defaults)."""
+
+    seed: int = 0
+    epochs: int = 200
+    batch_size: int = 128
+    lr: float = 0.01
+    weight_decay: float = 5e-4
+    scheduler_step: int = 50
+    scheduler_gamma: float = 0.8
+    drop_last: bool = True
+    shuffle: bool = True
+    # Curriculum: number of free-rollout steps mixed into the loss
+    # (0 = pure teacher forcing, reference behavior).
+    rollout_steps: int = 0
+    rollout_loss_weight: float = 1.0
+    run_path: str = "runs/default"
+    checkpoint_every: int = 1
+    generate_movie: bool = True
+    num_movie_frames: int = 5
+    plot_latent: bool = True
+    plot_per_epochs: int = 1
+    latent_frames: int = 10000
+    log_wandb: bool = False
+    wandb_project: str = "bba_gno"
+
+
+@dataclass(frozen=True)
+class RolloutConfig:
+    """Autoregressive rollout (``graph_kernel.py:396-413`` parity)."""
+
+    num_steps: int = 1000
+    threshold: float = 8.0
+    # Which window frame the rebuilt graph comes from. The reference uses the
+    # LAST frame during rollout (graph_kernel.py:363) but the FIRST frame in
+    # the training dataset (dataset.py:189,197) — a latent inconsistency we
+    # surface as config.
+    graph_frame: str = "last"
+    collect: str = "coords"  # "coords" | "contact_maps" | "both"
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """TPU mesh layout for pjit/shard_map."""
+
+    data: int = 1   # batch-axis data parallelism (ICI)
+    model: int = 1  # edge/feature-axis model parallelism for large systems
+    axis_names: Tuple[str, str] = ("data", "model")
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    fno: FNOConfig = field(default_factory=FNOConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    rollout: RolloutConfig = field(default_factory=RolloutConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+
+def to_json(cfg) -> str:
+    return json.dumps(dataclasses.asdict(cfg), indent=2, sort_keys=True)
+
+
+def _from_dict(cls, d: dict):
+    names = {f.name for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for k, v in d.items():
+        if k not in names:
+            continue
+        sub = _CONFIG_TYPES.get(k)
+        if sub is not None and isinstance(v, dict):
+            kwargs[k] = _from_dict(sub, v)
+        else:
+            kwargs[k] = tuple(v) if isinstance(v, list) else v
+    return cls(**kwargs)
+
+
+_CONFIG_TYPES = {
+    "model": ModelConfig,
+    "fno": FNOConfig,
+    "data": DataConfig,
+    "train": TrainConfig,
+    "rollout": RolloutConfig,
+    "mesh": MeshConfig,
+}
+
+
+def experiment_from_json(s: str) -> ExperimentConfig:
+    return _from_dict(ExperimentConfig, json.loads(s))

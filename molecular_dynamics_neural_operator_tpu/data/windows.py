@@ -1,0 +1,174 @@
+"""Sliding-window dataset and batch assembly.
+
+Replaces the reference's ``ContactMapDataset.__getitem__``
+(``/root/reference/dataset.py:177-227``) and PyG's list-of-graphs batching.
+Window/horizon indexing semantics are identical:
+
+- ``len = N - window_size - horizon + 1`` (``dataset.py:177-178``),
+- window = positions[idx : idx + window_size] (``dataset.py:185``),
+- graph = contact map of frame ``idx`` — the FIRST window frame
+  (``dataset.py:189``),
+- target y = positions[idx + window_size + horizon - 1] (``dataset.py:182``).
+
+Host-side work is fully vectorized: the ragged per-frame COO edge lists are
+packed once into a CSR-like (concatenated edges + offsets) layout, and a
+whole batch densifies with a single scatter — no per-edge Python loops
+(the reference's ``dataset.py:194-201`` hot spot). Edge *features* are not
+built on the host at all; they are computed on device from the window
+coordinates (``geometry.dense_edge_features``), which also cuts host->HBM
+traffic. A batch is a dict of numpy arrays ready for ``device_put``:
+
+    {"aa": (R,), "window": (B, T, R, 3), "y": (B, R, 3),
+     "adj": (B, R, R) f32}                          # dense mode
+    {"aa", "window", "y", "edges": (B, 2, E), "mask": (B, E)}  # sparse mode
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from molecular_dynamics_neural_operator_tpu.data.h5 import TrajectoryData
+
+
+class WindowDataset:
+    def __init__(
+        self,
+        traj: TrajectoryData,
+        window_size: int = 10,
+        horizon: int = 1,
+        threshold: float = 8.0,
+        graph_mode: str = "dense",
+        max_edges: int = 384,
+        use_stored_contact_maps: bool = True,
+    ):
+        if traj.num_frames - window_size - horizon + 1 < 0:
+            raise ValueError(
+                "The sum of window_size and horizon is longer than the input data"
+            )
+        self.traj = traj
+        self.window_size = window_size
+        self.horizon = horizon
+        self.threshold = threshold
+        self.graph_mode = graph_mode
+        self.max_edges = max_edges
+        self.use_stored_contact_maps = use_stored_contact_maps
+        self.num_residues = traj.num_residues
+
+        if use_stored_contact_maps:
+            # CSR-like packing of the ragged COO lists: one concatenation at
+            # init, O(1) slicing per frame afterwards.
+            counts = np.array([e.shape[1] for e in traj.edge_indices], np.int64)
+            self._offsets = np.zeros(len(counts) + 1, np.int64)
+            np.cumsum(counts, out=self._offsets[1:])
+            if len(traj.edge_indices):
+                self._edges_flat = np.concatenate(
+                    traj.edge_indices, axis=1
+                ).astype(np.int32)
+            else:
+                self._edges_flat = np.zeros((2, 0), np.int32)
+            self._max_stored = int(counts.max()) if len(counts) else 0
+            if graph_mode == "sparse" and self._max_stored > max_edges:
+                raise ValueError(
+                    f"stored edge count {self._max_stored} exceeds "
+                    f"max_edges {max_edges}"
+                )
+
+    def __len__(self) -> int:
+        return self.traj.num_frames - self.window_size - self.horizon + 1
+
+    # -- batch assembly ----------------------------------------------------
+
+    def _windows(self, idx: np.ndarray):
+        t = self.window_size
+        gather = idx[:, None] + np.arange(t)[None, :]
+        window = self.traj.positions[gather]  # (B, T, R, 3)
+        y = self.traj.positions[idx + t + self.horizon - 1]
+        return window.astype(np.float32), y.astype(np.float32)
+
+    def _dense_adj(self, idx: np.ndarray) -> np.ndarray:
+        """Densify the stored contact maps of frames ``idx`` with one scatter."""
+        b = len(idx)
+        r = self.num_residues
+        if self.use_stored_contact_maps:
+            starts = self._offsets[idx]
+            ends = self._offsets[idx + 1]
+            counts = ends - starts
+            # flat indices of every edge in the batch
+            edge_slots = np.concatenate(
+                [np.arange(s, e) for s, e in zip(starts, ends)]
+            ) if b else np.zeros(0, np.int64)
+            owner = np.repeat(np.arange(b), counts)
+            src = self._edges_flat[0, edge_slots].astype(np.int64)
+            dst = self._edges_flat[1, edge_slots].astype(np.int64)
+            adj = np.zeros((b, r, r), np.float32)
+            adj[owner, src, dst] = 1.0
+            return adj
+        # recompute from coordinates (first window frame)
+        pos = self.traj.positions[idx]  # (B, R, 3)
+        d2 = np.sum(
+            (pos[:, :, None, :] - pos[:, None, :, :]) ** 2, axis=-1
+        )
+        return (d2 < self.threshold**2).astype(np.float32)
+
+    def _sparse_edges(self, idx: np.ndarray):
+        """Padded edge lists (B, 2, E) + mask (B, E) from stored COO."""
+        b = len(idx)
+        e_max = self.max_edges
+        edges = np.zeros((b, 2, e_max), np.int32)
+        mask = np.zeros((b, e_max), np.float32)
+        if self.use_stored_contact_maps:
+            starts = self._offsets[idx]
+            ends = self._offsets[idx + 1]
+            for i, (s, e) in enumerate(zip(starts, ends)):
+                n = e - s
+                edges[i, :, :n] = self._edges_flat[:, s:e]
+                mask[i, :n] = 1.0
+        else:
+            adj = self._dense_adj(idx)
+            for i in range(b):
+                s, d = np.nonzero(adj[i])
+                n = len(s)
+                if n > e_max:
+                    raise ValueError(f"edge count {n} exceeds max_edges {e_max}")
+                edges[i, 0, :n] = s
+                edges[i, 1, :n] = d
+                mask[i, :n] = 1.0
+        return edges, mask
+
+    def get_batch(self, idx: Sequence[int]) -> dict:
+        idx = np.asarray(idx, np.int64)
+        window, y = self._windows(idx)
+        out = {
+            "aa": self.traj.aminoacids,
+            "window": window,
+            "y": y,
+        }
+        if self.graph_mode == "dense":
+            out["adj"] = self._dense_adj(idx)
+        else:
+            edges, mask = self._sparse_edges(idx)
+            out["edges"] = edges
+            out["mask"] = mask
+        return out
+
+
+def batch_iterator(
+    dataset: WindowDataset,
+    indices: Sequence[int],
+    batch_size: int,
+    shuffle: bool = True,
+    drop_last: bool = True,
+    seed: int = 0,
+    epoch: int = 0,
+) -> Iterator[dict]:
+    """Deterministic shuffled batch stream (epoch folds into the seed)."""
+    indices = np.asarray(indices, np.int64)
+    if shuffle:
+        rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
+        indices = rng.permutation(indices)
+    n = len(indices)
+    end = n - (n % batch_size) if drop_last else n
+    for i in range(0, end, batch_size):
+        yield dataset.get_batch(indices[i : i + batch_size])

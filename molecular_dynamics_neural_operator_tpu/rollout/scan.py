@@ -1,0 +1,164 @@
+"""Autoregressive rollout as one jitted ``lax.scan`` — the signature capability.
+
+The reference's free-running inference loop
+(``/root/reference/graph_kernel.py:396-413``) crosses the host<->device
+boundary twice per step and rebuilds the graph with scipy on the host CPU
+(``construct_pairdata``, ``:362-393``) — measured at 80.56 steps/s
+(``bba_analysis.ipynb`` cell 20). Here the whole loop — contact-map rebuild
+from *predicted* coordinates (8 A threshold), edge featurization, operator
+forward, window slide — is a single compiled ``lax.scan`` with zero host
+round-trips, and rollout shares the exact forward kernels with training
+(one jitted graph for the teacher-forcing -> free-rollout curriculum).
+
+Semantics parity: each step (a) predicts coordinates from the current
+window, (b) drops the oldest frame and appends the prediction
+(``graph_kernel.py:407-409``), (c) rebuilds the graph from the new window's
+LAST frame (``:363``, ``x_position[-1]``). Self-loops are included, as in
+the reference.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from molecular_dynamics_neural_operator_tpu.configs import ModelConfig
+from molecular_dynamics_neural_operator_tpu.geometry import (
+    contact_map,
+    dense_edge_features,
+    edge_features_from_edges,
+    padded_edges_device,
+)
+from molecular_dynamics_neural_operator_tpu.models import (
+    DenseGraph,
+    SparseGraph,
+    gkn_apply_single,
+)
+
+
+def _build_graph(cfg: ModelConfig, frame, threshold: float):
+    adj = contact_map(frame, threshold)
+    if cfg.graph_mode == "dense":
+        return DenseGraph(adj=adj, edge_feats=dense_edge_features(frame))
+    edges, mask = padded_edges_device(adj, cfg.max_edges)
+    return SparseGraph(
+        edges=edges, mask=mask, edge_feats=edge_features_from_edges(frame, edges)
+    )
+
+
+def _step(params, cfg: ModelConfig, aa, window, threshold: float,
+          graph_frame: str):
+    frame = window[-1] if graph_frame == "last" else window[0]
+    graph = _build_graph(cfg, frame, threshold)
+    out = gkn_apply_single(params, cfg, aa, window, graph)  # (R, 3)
+    new_window = jnp.concatenate([window[1:], out[None]], axis=0)
+    return new_window, out, graph
+
+
+def rollout_scan(
+    params,
+    cfg: ModelConfig,
+    aa,
+    window0,
+    num_steps: int,
+    threshold: float = 8.0,
+    graph_frame: str = "last",
+    collect: str = "coords",
+):
+    """Roll the operator forward ``num_steps`` steps from window0 (T, R, 3).
+
+    collect: "coords" -> (num_steps, R, 3) predicted coordinates;
+    "contact_maps" -> (num_steps, R, R) contact maps of the predictions;
+    "both" -> tuple of the two. Returns (collected, final_window).
+    """
+
+    def body(window, _):
+        new_window, out, _ = _step(params, cfg, aa, window, threshold, graph_frame)
+        if collect == "coords":
+            y = out
+        elif collect == "contact_maps":
+            y = contact_map(out, threshold)
+        elif collect == "both":
+            y = (out, contact_map(out, threshold))
+        else:
+            raise ValueError(f"unknown collect mode: {collect}")
+        return new_window, y
+
+    final_window, collected = jax.lax.scan(
+        body, window0, None, length=num_steps
+    )
+    return collected, final_window
+
+
+def make_rollout_fn(
+    cfg: ModelConfig,
+    num_steps: int,
+    threshold: float = 8.0,
+    graph_frame: str = "last",
+    collect: str = "coords",
+    batched: bool = False,
+):
+    """Jit-compiled rollout; ``batched=True`` vmaps over leading stream axis
+    of window0 for multi-stream throughput."""
+
+    def fn(params, aa, window0):
+        return rollout_scan(
+            params, cfg, aa, window0, num_steps, threshold, graph_frame, collect
+        )
+
+    if batched:
+        inner = fn
+        fn = lambda params, aa, window0: jax.vmap(
+            lambda w: inner(params, aa, w)
+        )(window0)
+    return jax.jit(fn)
+
+
+def rollout_with_mse(
+    params,
+    cfg: ModelConfig,
+    aa,
+    window0,
+    truth,
+    threshold: float = 8.0,
+    graph_frame: str = "last",
+):
+    """Rollout tracking per-step coordinate MSE against ground truth
+    (``bba_analysis.ipynb`` cell 19 parity). truth: (num_steps, R, 3)."""
+
+    def body(window, y_true):
+        new_window, out, _ = _step(params, cfg, aa, window, threshold, graph_frame)
+        step_mse = jnp.mean((out - y_true) ** 2)
+        return new_window, (out, step_mse)
+
+    final_window, (coords, mses) = jax.lax.scan(body, window0, truth)
+    return coords, mses, final_window
+
+
+def rollout_python_loop(
+    params,
+    cfg: ModelConfig,
+    aa,
+    window0,
+    num_steps: int,
+    threshold: float = 8.0,
+    graph_frame: str = "last",
+):
+    """Reference-shaped host loop (one device call per step). Exists only as
+    the test oracle for scan-vs-loop equivalence and as the baseline the
+    benchmark compares against — mirrors ``recursive_propagation``'s
+    per-step host round-trip structure."""
+    window = window0
+
+    @jax.jit
+    def step(params, aa, window):
+        new_window, out, _ = _step(params, cfg, aa, window, threshold, graph_frame)
+        return new_window, out
+
+    outs = []
+    for _ in range(num_steps):
+        window, out = step(params, aa, window)
+        outs.append(jax.device_get(out))  # host round-trip every step
+    import numpy as np
+
+    return np.stack(outs), window

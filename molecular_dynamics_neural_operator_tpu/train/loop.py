@@ -1,0 +1,142 @@
+"""Jitted train/eval steps and host epoch loops.
+
+Replaces the reference's ``train``/``validate``
+(``/root/reference/graph_kernel.py:445-493``). Loss semantics are identical:
+``LpLoss(size_average=False)`` — the *sum* over the batch of per-example
+relative L2 errors on (R*3)-flattened coordinates (``graph_kernel.py:461-462,
+547``) — with plain MSE tracked alongside (``:449,465``). Per-epoch numbers
+are the mean over batches, like the reference's ``avg_loss /= len(loader)``.
+
+Featurization (edge features from window coordinates, adjacency masking) is
+fused into the jitted step: the host ships only coordinates + adjacency,
+and the device builds the graph (geometry/contact.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from molecular_dynamics_neural_operator_tpu.configs import ModelConfig
+from molecular_dynamics_neural_operator_tpu.geometry import (
+    dense_edge_features,
+    edge_features_from_edges,
+)
+from molecular_dynamics_neural_operator_tpu.models import (
+    DenseGraph,
+    GKNBatch,
+    SparseGraph,
+    gkn_apply,
+    lp_rel,
+    mse,
+)
+from molecular_dynamics_neural_operator_tpu.train.state import TrainState
+
+
+def featurize_batch(cfg: ModelConfig, batch: dict, graph_frame: str = "first") -> GKNBatch:
+    """Build the on-device GKNBatch from a host batch dict.
+
+    graph_frame: which window frame edge features come from. "first" matches
+    the reference's training dataset (``dataset.py:189,197``), "last" its
+    rollout rebuild (``graph_kernel.py:363``).
+    """
+    window = batch["window"]
+    frame = window[:, 0] if graph_frame == "first" else window[:, -1]
+    if "adj" in batch:
+        graph = DenseGraph(adj=batch["adj"], edge_feats=dense_edge_features(frame))
+    else:
+        edge_feats = jax.vmap(edge_features_from_edges)(frame, batch["edges"])
+        graph = SparseGraph(
+            edges=batch["edges"], mask=batch["mask"], edge_feats=edge_feats
+        )
+    return GKNBatch(aa=batch["aa"], window=window, graph=graph, y=batch["y"])
+
+
+def _loss_fn(params, cfg: ModelConfig, gbatch: GKNBatch):
+    out = gkn_apply(params, cfg, gbatch)  # (B, R, 3)
+    b = out.shape[0]
+    l2 = lp_rel(
+        out.reshape(b, -1), gbatch.y.reshape(b, -1), size_average=False
+    )
+    m = mse(out, gbatch.y)
+    return l2, (m, out)
+
+
+def make_train_step(cfg: ModelConfig, tx, graph_frame: str = "first",
+                    donate: bool = True):
+    """Returns jitted (state, host_batch) -> (state, metrics)."""
+
+    def step(state: TrainState, batch: dict):
+        gbatch = featurize_batch(cfg, batch, graph_frame)
+        (l2, (m, _)), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
+            state.params, cfg, gbatch
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates
+        )
+        new_state = TrainState(
+            params=params,
+            opt_state=opt_state,
+            step=state.step + 1,
+            rng=state.rng,
+        )
+        return new_state, {"rel_l2": l2, "mse": m}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(cfg: ModelConfig, graph_frame: str = "first"):
+    def step(params, batch: dict):
+        gbatch = featurize_batch(cfg, batch, graph_frame)
+        l2, (m, out) = _loss_fn(params, cfg, gbatch)
+        return {"rel_l2": l2, "mse": m}
+
+    return jax.jit(step)
+
+
+def train_epoch(state, train_step, dataset, indices, batch_size, *,
+                shuffle=True, drop_last=True, seed=0, epoch=0,
+                put: Optional[Callable] = None):
+    """Host loop over one epoch. ``put`` optionally shards/transfers the
+    host batch (parallel.mesh.make_batch_put); identity by default."""
+    from molecular_dynamics_neural_operator_tpu.data import batch_iterator
+
+    total = {"rel_l2": 0.0, "mse": 0.0}
+    n = 0
+    for batch in batch_iterator(
+        dataset, indices, batch_size, shuffle=shuffle, drop_last=drop_last,
+        seed=seed, epoch=epoch,
+    ):
+        if put is not None:
+            batch = put(batch)
+        state, metrics = train_step(state, batch)
+        total["rel_l2"] += float(metrics["rel_l2"])
+        total["mse"] += float(metrics["mse"])
+        n += 1
+    if n:
+        total = {k: v / n for k, v in total.items()}
+    return state, total
+
+
+def eval_epoch(params, eval_step, dataset, indices, batch_size, *,
+               drop_last=True, put: Optional[Callable] = None):
+    from molecular_dynamics_neural_operator_tpu.data import batch_iterator
+
+    total = {"rel_l2": 0.0, "mse": 0.0}
+    n = 0
+    for batch in batch_iterator(
+        dataset, indices, batch_size, shuffle=False, drop_last=drop_last,
+    ):
+        if put is not None:
+            batch = put(batch)
+        metrics = eval_step(params, batch)
+        total["rel_l2"] += float(metrics["rel_l2"])
+        total["mse"] += float(metrics["mse"])
+        n += 1
+    if n:
+        total = {k: v / n for k, v in total.items()}
+    return total

@@ -1,0 +1,40 @@
+"""Optimizer and LR schedule, reference-parity.
+
+The reference trains with ``torch.optim.Adam(lr, weight_decay)`` plus
+``StepLR(step_size, gamma)`` stepped per *epoch*
+(``/root/reference/graph_kernel.py:541-546,622``). Torch's Adam
+``weight_decay`` is classic L2 (decay added to the gradient *before* the
+Adam moments — not decoupled AdamW), reproduced here with
+``optax.add_decayed_weights`` ahead of ``scale_by_adam``.
+"""
+
+from __future__ import annotations
+
+import optax
+
+
+def step_lr_schedule(lr: float, step_size_epochs: int, gamma: float,
+                     steps_per_epoch: int):
+    """StepLR: lr * gamma^(epoch // step_size), expressed per train-step."""
+    boundary = max(1, step_size_epochs * steps_per_epoch)
+    return optax.exponential_decay(
+        init_value=lr,
+        transition_steps=boundary,
+        decay_rate=gamma,
+        staircase=True,
+    )
+
+
+def make_optimizer(
+    lr: float = 0.01,
+    weight_decay: float = 5e-4,
+    scheduler_step: int = 50,
+    scheduler_gamma: float = 0.8,
+    steps_per_epoch: int = 1,
+):
+    schedule = step_lr_schedule(lr, scheduler_step, scheduler_gamma, steps_per_epoch)
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),  # torch-Adam-style L2
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale_by_learning_rate(schedule),
+    ), schedule

@@ -1,0 +1,114 @@
+"""Data pipeline: HDF5 schema round-trip, window/horizon indexing parity
+with ``dataset.py:177-227``, vectorized batching vs per-item oracle."""
+
+import numpy as np
+import pytest
+
+from molecular_dynamics_neural_operator_tpu.data import (
+    WindowDataset,
+    aminoacid_int_to_onehot,
+    batch_iterator,
+    load_trajectory,
+    synthetic_trajectory,
+    write_synthetic_h5,
+)
+from molecular_dynamics_neural_operator_tpu.train import train_valid_split
+
+
+def test_onehot_matches_reference_loop():
+    labels = np.array([1, 5, 20, 3])
+    ours = aminoacid_int_to_onehot(labels)
+    ref = np.zeros((4, 20))
+    for i, l in enumerate(labels):
+        ref[i][l - 1] = 1
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_h5_roundtrip(tmp_path):
+    path = tmp_path / "traj.h5"
+    traj = write_synthetic_h5(path, num_frames=32, num_residues=10, seed=1)
+    loaded = load_trajectory(path)
+    np.testing.assert_allclose(loaded.positions, traj.positions, rtol=1e-6)
+    np.testing.assert_array_equal(loaded.aminoacids, traj.aminoacids)
+    np.testing.assert_allclose(loaded.rmsd, traj.rmsd, rtol=1e-6)
+    assert len(loaded.edge_indices) == 32
+    for a, b in zip(loaded.edge_indices, traj.edge_indices):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_h5_directory_mode(tmp_path):
+    t1 = write_synthetic_h5(tmp_path / "a.h5", num_frames=16, num_residues=10, seed=1)
+    t2 = write_synthetic_h5(tmp_path / "b.h5", num_frames=8, num_residues=10, seed=2)
+    loaded = load_trajectory(tmp_path)
+    assert loaded.num_frames == 24
+    np.testing.assert_allclose(loaded.positions[:16], t1.positions, rtol=1e-6)
+    np.testing.assert_allclose(loaded.positions[16:], t2.positions, rtol=1e-6)
+    # node features come from the first file, read while it is open
+    # (fixes the reference's closed-handle bug, dataset.py:149)
+    np.testing.assert_array_equal(loaded.aminoacids, t1.aminoacids)
+
+
+def test_window_indexing_reference_semantics(tiny_traj):
+    ds = WindowDataset(tiny_traj, window_size=5, horizon=2)
+    # len = N - window - horizon + 1 (dataset.py:177-178)
+    assert len(ds) == tiny_traj.num_frames - 5 - 2 + 1
+    batch = ds.get_batch([3])
+    np.testing.assert_allclose(
+        batch["window"][0], tiny_traj.positions[3:8], rtol=1e-6
+    )
+    # y = positions[idx + window + horizon - 1] (dataset.py:182)
+    np.testing.assert_allclose(batch["y"][0], tiny_traj.positions[3 + 5 + 2 - 1])
+
+
+def test_dense_adj_matches_stored_coo(tiny_traj):
+    ds = WindowDataset(tiny_traj, window_size=4)
+    idx = [0, 7, 20]
+    adj = ds.get_batch(idx)["adj"]
+    for b, i in enumerate(idx):
+        e = tiny_traj.edge_indices[i]
+        ref = np.zeros((tiny_traj.num_residues,) * 2, np.float32)
+        ref[e[0], e[1]] = 1.0
+        np.testing.assert_array_equal(adj[b], ref)
+
+
+def test_recomputed_adj_matches_stored(tiny_traj):
+    ds_stored = WindowDataset(tiny_traj, window_size=4, use_stored_contact_maps=True)
+    ds_recomp = WindowDataset(tiny_traj, window_size=4, use_stored_contact_maps=False)
+    idx = [0, 5, 11]
+    np.testing.assert_array_equal(
+        ds_stored.get_batch(idx)["adj"], ds_recomp.get_batch(idx)["adj"]
+    )
+
+
+def test_sparse_batch_matches_dense(tiny_traj):
+    dsd = WindowDataset(tiny_traj, window_size=4, graph_mode="dense")
+    dss = WindowDataset(tiny_traj, window_size=4, graph_mode="sparse", max_edges=256)
+    idx = [2, 9]
+    dense = dsd.get_batch(idx)["adj"]
+    sp = dss.get_batch(idx)
+    for b in range(2):
+        ref = np.zeros_like(dense[b])
+        n = int(sp["mask"][b].sum())
+        ref[sp["edges"][b, 0, :n], sp["edges"][b, 1, :n]] = 1.0
+        np.testing.assert_array_equal(ref, dense[b])
+
+
+def test_batch_iterator_determinism(tiny_traj):
+    ds = WindowDataset(tiny_traj, window_size=4)
+    idx = np.arange(len(ds))
+    b1 = [b["y"] for b in batch_iterator(ds, idx, 8, seed=1, epoch=0)]
+    b2 = [b["y"] for b in batch_iterator(ds, idx, 8, seed=1, epoch=0)]
+    b3 = [b["y"] for b in batch_iterator(ds, idx, 8, seed=1, epoch=1)]
+    for a, b in zip(b1, b2):
+        np.testing.assert_array_equal(a, b)
+    assert any(not np.array_equal(a, b) for a, b in zip(b1, b3))
+
+
+def test_train_valid_split_methods():
+    tr, va = train_valid_split(100, 0.8, "partition")
+    assert list(tr) == list(range(80)) and list(va) == list(range(80, 100))
+    tr_r, va_r = train_valid_split(100, 0.8, "random", seed=0)
+    assert len(tr_r) == 80 and len(va_r) == 20
+    assert sorted(np.concatenate([tr_r, va_r]).tolist()) == list(range(100))
+    with pytest.raises(ValueError):
+        train_valid_split(10, 0.8, "bogus")

@@ -1,0 +1,138 @@
+"""GKN model invariants: shapes, dtypes, dense/sparse equivalence, latent
+capture, kernel tying (``graph_kernel.py:245-309`` capability parity)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from molecular_dynamics_neural_operator_tpu.configs import ModelConfig
+from molecular_dynamics_neural_operator_tpu.geometry import (
+    contact_map,
+    dense_edge_features,
+    dense_to_padded_edges,
+    edge_features_from_edges,
+)
+from molecular_dynamics_neural_operator_tpu.models import (
+    DenseGraph,
+    GKNBatch,
+    SparseGraph,
+    gkn_apply,
+    gkn_apply_single,
+    gkn_init,
+    lp_abs,
+    lp_rel,
+)
+
+
+def _dense_batch(cfg, b=3, seed=0):
+    r, t = cfg.num_residues, cfg.window_size
+    key = jax.random.PRNGKey(seed)
+    pos = jax.random.normal(key, (b, t, r, 3)) * 4
+    aa = jnp.arange(r, dtype=jnp.int32) % 20
+    adj = contact_map(pos[:, 0], 8.0)
+    graph = DenseGraph(adj=adj, edge_feats=dense_edge_features(pos[:, 0]))
+    y = jax.random.normal(jax.random.fold_in(key, 1), (b, r, 3))
+    return GKNBatch(aa=aa, window=pos, graph=graph, y=y)
+
+
+def test_forward_shapes_and_finite(tiny_model_cfg):
+    cfg = tiny_model_cfg
+    params = gkn_init(jax.random.PRNGKey(0), cfg)
+    batch = _dense_batch(cfg)
+    out = gkn_apply(params, cfg, batch)
+    assert out.shape == (3, cfg.num_residues, cfg.out_width)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_return_latent(tiny_model_cfg):
+    cfg = tiny_model_cfg
+    params = gkn_init(jax.random.PRNGKey(0), cfg)
+    batch = _dense_batch(cfg)
+    out, latent = gkn_apply(params, cfg, batch, return_latent=True)
+    assert latent.shape == (3, cfg.num_residues, cfg.width)
+    # latent is the pre-head activation: fc2(latent) == out
+    ref = latent @ params["fc2"]["w"] + params["fc2"]["b"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_dense_sparse_forward_equivalence(tiny_model_cfg):
+    cfg = tiny_model_cfg
+    params = gkn_init(jax.random.PRNGKey(0), cfg)
+    batch = _dense_batch(cfg, b=2)
+    out_dense = gkn_apply(params, cfg, batch)
+
+    b, r = 2, cfg.num_residues
+    edges_l, masks_l = [], []
+    for i in range(b):
+        e, m = dense_to_padded_edges(np.asarray(batch.graph.adj[i]), cfg.max_edges)
+        edges_l.append(e)
+        masks_l.append(m)
+    edges = jnp.asarray(np.stack(edges_l))
+    mask = jnp.asarray(np.stack(masks_l))
+    ef = jax.vmap(edge_features_from_edges)(batch.window[:, 0], edges)
+    sparse_batch = GKNBatch(
+        aa=batch.aa,
+        window=batch.window,
+        graph=SparseGraph(edges=edges, mask=mask, edge_feats=ef),
+        y=batch.y,
+    )
+    out_sparse = gkn_apply(params, cfg, sparse_batch)
+    np.testing.assert_allclose(
+        np.asarray(out_dense), np.asarray(out_sparse), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_edge_kernel_tying(tiny_model_cfg):
+    import dataclasses
+
+    cfg_tied = tiny_model_cfg
+    cfg_untied = dataclasses.replace(cfg_tied, tie_edge_kernel=False)
+    p_tied = gkn_init(jax.random.PRNGKey(0), cfg_tied)
+    p_untied = gkn_init(jax.random.PRNGKey(0), cfg_untied)
+    assert "edge_kernel2" not in p_tied
+    assert "edge_kernel2" in p_untied
+    batch = _dense_batch(cfg_tied)
+    out_t = gkn_apply(p_tied, cfg_tied, batch)
+    out_u = gkn_apply(p_untied, cfg_untied, batch)
+    # untied second stack has different weights => different output
+    assert np.abs(np.asarray(out_t) - np.asarray(out_u)).max() > 1e-6
+
+
+def test_lp_loss_matches_torch_reference():
+    """lp_rel/lp_abs vs the literal LpLoss math (graph_kernel.py:75-122)."""
+    torch = __import__("torch")
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(8, 36)).astype(np.float32)
+    y = rng.normal(size=(8, 36)).astype(np.float32)
+
+    tx, ty = torch.tensor(x), torch.tensor(y)
+    diff = torch.norm(tx.view(8, -1) - ty.view(8, -1), 2, 1)
+    ynorm = torch.norm(ty.view(8, -1), 2, 1)
+    ref_rel_mean = float(torch.mean(diff / ynorm))
+    ref_rel_sum = float(torch.sum(diff / ynorm))
+    h = 1.0 / (x.shape[1] - 1.0)
+    ref_abs = float(torch.mean(h ** (2 / 2) * diff))
+
+    np.testing.assert_allclose(
+        float(lp_rel(jnp.asarray(x), jnp.asarray(y))), ref_rel_mean, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(lp_rel(jnp.asarray(x), jnp.asarray(y), size_average=False)),
+        ref_rel_sum,
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(lp_abs(jnp.asarray(x), jnp.asarray(y))), ref_abs, rtol=1e-5
+    )
+
+
+def test_single_and_batched_agree(tiny_model_cfg):
+    cfg = tiny_model_cfg
+    params = gkn_init(jax.random.PRNGKey(0), cfg)
+    batch = _dense_batch(cfg, b=2)
+    out = gkn_apply(params, cfg, batch)
+    one = gkn_apply_single(
+        params, cfg, batch.aa, batch.window[0],
+        DenseGraph(batch.graph.adj[0], batch.graph.edge_feats[0]),
+    )
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(one), rtol=1e-5, atol=1e-6)
