@@ -1,0 +1,139 @@
+"""Rollout CLI — free-running trajectory generation from a checkpoint.
+
+Covers the reference's offline analysis flow (``bba_analysis.ipynb`` cells
+12-27): load a checkpoint, roll out N steps from a chosen start frame via
+the jitted scan, write predicted coordinates / contact maps / per-step MSE,
+and optionally render the forecast-vs-real movie.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_path", type=Path, required=True)
+    p.add_argument("--checkpoint", type=Path, default=None,
+                   help=".npz train-state checkpoint (random init if absent)")
+    p.add_argument("--out_path", type=Path, required=True)
+    p.add_argument("--num_steps", type=int, default=1000)
+    p.add_argument("--start_frame", type=int, default=0)
+    p.add_argument("--threshold", type=float, default=8.0)
+    p.add_argument("--window_size", type=int, default=10)
+    p.add_argument("--width", type=int, default=64)
+    p.add_argument("--kernel_width", type=int, default=1024)
+    p.add_argument("--depth", type=int, default=6)
+    p.add_argument("--num_residues", type=int, default=28)
+    p.add_argument("--graph_mode", choices=["dense", "sparse"], default="dense")
+    p.add_argument("--compute_dtype", choices=["float32", "bfloat16"],
+                   default="bfloat16")
+    p.add_argument("--predict_delta", action="store_true")
+    p.add_argument("--clip", type=float, default=None)
+    p.add_argument("--movie", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from molecular_dynamics_neural_operator_tpu.configs import (
+        ModelConfig,
+        TrainConfig,
+    )
+    from molecular_dynamics_neural_operator_tpu.data import load_trajectory
+    from molecular_dynamics_neural_operator_tpu.models import gkn_init
+    from molecular_dynamics_neural_operator_tpu.rollout import (
+        make_rollout_fn,
+        rollout_with_mse,
+    )
+    from molecular_dynamics_neural_operator_tpu.train import create_train_state
+    from molecular_dynamics_neural_operator_tpu.utils import restore_checkpoint
+
+    cfg = ModelConfig(
+        width=args.width,
+        ker_width=args.kernel_width,
+        depth=args.depth,
+        window_size=args.window_size,
+        num_residues=args.num_residues,
+        graph_mode=args.graph_mode,
+        compute_dtype=args.compute_dtype,
+        predict_delta=args.predict_delta,
+    )
+    traj = load_trajectory(args.data_path)
+
+    if args.checkpoint is not None:
+        state, tx, _ = create_train_state(jax.random.PRNGKey(0), cfg, TrainConfig())
+        state, meta = restore_checkpoint(args.checkpoint, state)
+        params = state.params
+        print(f"Loaded checkpoint (epoch {meta.get('epoch', '?')})")
+    else:
+        params = gkn_init(jax.random.PRNGKey(0), cfg)
+        print("No checkpoint given: random init (throughput/debug mode)")
+
+    aa = jnp.asarray(traj.aminoacids)
+    s = args.start_frame
+    window0 = jnp.asarray(traj.positions[s : s + cfg.window_size])
+
+    out_dir = Path(args.out_path)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    truth_lo = s + cfg.window_size
+    have_truth = truth_lo + args.num_steps <= traj.num_frames
+    t0 = time.time()
+    if have_truth:
+        truth = jnp.asarray(traj.positions[truth_lo : truth_lo + args.num_steps])
+        coords, mses, _ = jax.jit(
+            lambda p, a, w, t: rollout_with_mse(
+                p, cfg, a, w, t, args.threshold
+            )
+        )(params, aa, window0, truth)
+        np.save(out_dir / "per_step_mse.npy", np.asarray(mses))
+    else:
+        roll = make_rollout_fn(cfg, args.num_steps, args.threshold,
+                               clip=args.clip)
+        coords, _ = roll(params, aa, window0)
+    coords = np.asarray(jax.block_until_ready(coords))
+    dt = time.time() - t0
+    np.save(out_dir / "forecast_coords.npy", coords)
+
+    summary = {
+        "num_steps": args.num_steps,
+        "seconds": dt,
+        "steps_per_s": args.num_steps / dt,
+        "finite": bool(np.isfinite(coords).all()),
+    }
+    if have_truth:
+        m = np.asarray(mses)
+        summary["mse_first"] = float(m[0])
+        summary["mse_last"] = float(m[-1])
+    (out_dir / "rollout_summary.json").write_text(json.dumps(summary, indent=2))
+    print(json.dumps(summary))
+
+    if args.movie:
+        from molecular_dynamics_neural_operator_tpu.geometry import contact_map as cm_fn
+        from molecular_dynamics_neural_operator_tpu.utils.movie import (
+            render_propagation_movie,
+        )
+
+        n = min(args.num_steps, 20)
+        fc = [np.asarray(cm_fn(jnp.asarray(coords[i]), args.threshold))
+              for i in range(n)]
+        real = [
+            np.asarray(cm_fn(jnp.asarray(traj.positions[truth_lo + i]),
+                             args.threshold))
+            for i in range(min(n, traj.num_frames - truth_lo))
+        ]
+        render_propagation_movie(out_dir, 0, fc, real[: len(fc)])
+    return summary
+
+
+if __name__ == "__main__":
+    main()

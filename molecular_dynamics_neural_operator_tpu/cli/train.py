@@ -1,0 +1,249 @@
+"""Training CLI — flag-compatible with the reference driver.
+
+``python -m molecular_dynamics_neural_operator_tpu.cli.train --data_path ...
+--run_path ...`` mirrors ``python graph_kernel.py`` flag names and defaults
+(``/root/reference/graph_kernel.py:312-359``), orchestrating the epoch loop
+of ``main()`` (``:496-646``): dataset, partition split, jitted train/eval,
+propagation movie, latent sweep, best-checkpoint saving, stdout epoch lines
+in the notebook-parseable format, JSONL (+ optional wandb) metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_path", type=Path, required=True)
+    p.add_argument("--run_path", type=Path, required=True)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--weight_decay", type=float, default=5e-4)
+    p.add_argument("--scheduler_step", type=int, default=50)
+    p.add_argument("--scheduler_gamma", type=float, default=0.8)
+    p.add_argument("--width", type=int, default=64)
+    p.add_argument("--out_width", type=int, default=3)
+    p.add_argument("--kernel_width", type=int, default=1024)
+    p.add_argument("--depth", type=int, default=6)
+    p.add_argument("--node_features", type=int, default=7)
+    p.add_argument("--edge_features", type=int, default=6)
+    p.add_argument("--num_embeddings", type=int, default=20)
+    p.add_argument("--embedding_dim", type=int, default=4)
+    p.add_argument("--split_pct", type=float, default=0.8)
+    p.add_argument("--generate_movie", type=lambda s: s != "False", default=True)
+    p.add_argument("--num_movie_frames", type=int, default=5)
+    p.add_argument("--plot_latent", type=lambda s: s != "False", default=True)
+    p.add_argument("--plot_per_epochs", type=int, default=1)
+    p.add_argument("--window_size", type=int, default=10)
+    p.add_argument("--num_residues", type=int, default=28)
+    p.add_argument("--node_features_path", type=Path, default=None)
+    # TPU-framework extensions (not in the reference):
+    p.add_argument("--graph_mode", choices=["dense", "sparse"], default="dense")
+    p.add_argument("--max_edges", type=int, default=384)
+    p.add_argument("--compute_dtype", choices=["float32", "bfloat16"],
+                   default="bfloat16")
+    p.add_argument("--predict_delta", action="store_true")
+    p.add_argument("--latent_frames", type=int, default=10000)
+    p.add_argument("--resume", type=Path, default=None,
+                   help="checkpoint (.npz) to resume from")
+    p.add_argument("--wandb", action="store_true")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard the batch over all local devices")
+    args = p.parse_args(argv)
+    if not args.data_path.exists():
+        raise ValueError(f"data_path does not exist: {args.data_path}")
+    return args
+
+
+def build_configs(args):
+    from molecular_dynamics_neural_operator_tpu.configs import (
+        DataConfig,
+        ModelConfig,
+        TrainConfig,
+    )
+
+    model = ModelConfig(
+        width=args.width,
+        ker_width=args.kernel_width,
+        depth=args.depth,
+        edge_features=args.edge_features,
+        node_features=args.node_features,
+        out_width=args.out_width,
+        num_embeddings=args.num_embeddings,
+        embedding_dim=args.embedding_dim,
+        window_size=args.window_size,
+        num_residues=args.num_residues,
+        graph_mode=args.graph_mode,
+        max_edges=args.max_edges,
+        compute_dtype=args.compute_dtype,
+        predict_delta=args.predict_delta,
+    )
+    data = DataConfig(
+        data_path=str(args.data_path),
+        node_features_path=(
+            str(args.node_features_path) if args.node_features_path else None
+        ),
+        window_size=args.window_size,
+        split_pct=args.split_pct,
+    )
+    train = TrainConfig(
+        seed=args.seed,
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        lr=args.lr,
+        weight_decay=args.weight_decay,
+        scheduler_step=args.scheduler_step,
+        scheduler_gamma=args.scheduler_gamma,
+        run_path=str(args.run_path),
+        generate_movie=args.generate_movie,
+        num_movie_frames=args.num_movie_frames,
+        plot_latent=args.plot_latent,
+        plot_per_epochs=args.plot_per_epochs,
+        latent_frames=args.latent_frames,
+        log_wandb=args.wandb,
+    )
+    return model, data, train
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    model_cfg, data_cfg, train_cfg = build_configs(args)
+
+    import jax
+    import numpy as np
+
+    from molecular_dynamics_neural_operator_tpu import configs
+    from molecular_dynamics_neural_operator_tpu.data import (
+        WindowDataset,
+        load_trajectory,
+    )
+    from molecular_dynamics_neural_operator_tpu.parallel import (
+        make_mesh,
+        make_sharded_train_step,
+    )
+    from molecular_dynamics_neural_operator_tpu.train import (
+        create_train_state,
+        eval_epoch,
+        make_eval_step,
+        make_train_step,
+        train_epoch,
+        train_valid_split,
+    )
+    from molecular_dynamics_neural_operator_tpu.utils import (
+        BestCheckpointer,
+        MetricLogger,
+        restore_checkpoint,
+    )
+    from molecular_dynamics_neural_operator_tpu.utils.latent import (
+        collect_latents,
+        log_latent_visualization,
+    )
+    from molecular_dynamics_neural_operator_tpu.utils.movie import (
+        make_propagation_movie,
+        select_starting_points,
+    )
+
+    run_dir = Path(train_cfg.run_path)
+    run_dir.mkdir(parents=True, exist_ok=True)
+    (run_dir / "config.json").write_text(
+        configs.to_json(
+            configs.ExperimentConfig(model=model_cfg, data=data_cfg, train=train_cfg)
+        )
+    )
+
+    traj = load_trajectory(
+        data_cfg.data_path,
+        node_feature_dset_path=data_cfg.node_features_path,
+    )
+    dataset = WindowDataset(
+        traj,
+        window_size=model_cfg.window_size,
+        threshold=data_cfg.threshold,
+        graph_mode=model_cfg.graph_mode,
+        max_edges=model_cfg.max_edges,
+    )
+    print(f"Created dataset: {len(dataset)} windows, "
+          f"{traj.num_residues} residues")
+
+    tr_idx, va_idx = train_valid_split(
+        len(dataset), data_cfg.split_pct, data_cfg.split_method,
+        seed=train_cfg.seed,
+    )
+    steps_per_epoch = max(1, len(tr_idx) // train_cfg.batch_size)
+    state, tx, _ = create_train_state(
+        jax.random.PRNGKey(train_cfg.seed), model_cfg, train_cfg,
+        steps_per_epoch=steps_per_epoch,
+    )
+
+    start_epoch = 0
+    if args.resume is not None:
+        state, meta = restore_checkpoint(args.resume, state)
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        print(f"Resumed from {args.resume} at epoch {start_epoch}")
+
+    put = None
+    if args.data_parallel and len(jax.devices()) > 1:
+        mesh = make_mesh()
+        train_step, put = make_sharded_train_step(model_cfg, tx, mesh)
+    else:
+        train_step = make_train_step(model_cfg, tx)
+    eval_step = make_eval_step(model_cfg)
+    print("Initialized model")
+
+    logger = MetricLogger(run_dir, use_wandb=train_cfg.log_wandb,
+                          config=vars(args))
+    ckpt = BestCheckpointer(run_dir)
+    starting_points = select_starting_points(
+        len(va_idx), model_cfg.window_size
+    )
+    print("Started training")
+
+    for epoch in range(start_epoch, train_cfg.epochs):
+        t0 = time.time()
+        state, train_m = train_epoch(
+            state, train_step, dataset, tr_idx, train_cfg.batch_size,
+            seed=train_cfg.seed, epoch=epoch, put=put,
+        )
+        valid_m = eval_epoch(
+            state.params, eval_step, dataset, va_idx, train_cfg.batch_size,
+        )
+        extra = {"avg_train_mse": train_m["mse"], "avg_valid_mse": valid_m["mse"]}
+
+        if train_cfg.generate_movie and epoch % train_cfg.plot_per_epochs == 0:
+            movie = make_propagation_movie(
+                state.params, model_cfg, dataset, run_dir, epoch,
+                [int(va_idx[0] + s) for s in starting_points],
+                num_steps=train_cfg.num_movie_frames,
+            )
+            extra["movie"] = str(movie)
+        if train_cfg.plot_latent and epoch % train_cfg.plot_per_epochs == 0:
+            n_lat = min(train_cfg.latent_frames, len(va_idx))
+            latents = collect_latents(
+                state.params, model_cfg, dataset, int(va_idx[0]), n_lat
+            )
+            colors = {}
+            if traj.rmsd is not None:
+                colors["RMSD"] = traj.rmsd[va_idx[0] : va_idx[0] + n_lat]
+            for method in ("PCA", "TSNE") if n_lat > 16 else ("PCA",):
+                paths = log_latent_visualization(
+                    latents, colors, run_dir, epoch, method
+                )
+                extra.update({f"{method}_{k}": str(v) for k, v in paths.items()})
+
+        logger.log_epoch(
+            epoch, time.time() - t0, train_m["rel_l2"], valid_m["rel_l2"],
+            extra,
+        )
+        ckpt.update(epoch, valid_m["rel_l2"], state)
+
+    logger.close()
+    return state
+
+
+if __name__ == "__main__":
+    main()

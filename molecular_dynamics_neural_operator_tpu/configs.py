@@ -47,6 +47,11 @@ class ModelConfig:
     # "pallas" fuses the weight-tied conv stack into one TPU kernel;
     # "xla" is the pure jnp path (also the CPU-test path).
     conv_impl: str = "xla"
+    # Predict coordinate deltas (out = last_frame + head) instead of absolute
+    # coordinates. Off by default for reference parity
+    # (graph_kernel.py:305 predicts absolute positions); on, it keeps free
+    # rollout numerically stable far longer.
+    predict_delta: bool = False
 
 
 @dataclass(frozen=True)

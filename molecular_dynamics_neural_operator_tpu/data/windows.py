@@ -29,6 +29,7 @@ from typing import Iterator, Optional, Sequence
 
 import numpy as np
 
+from molecular_dynamics_neural_operator_tpu.data import packing
 from molecular_dynamics_neural_operator_tpu.data.h5 import TrajectoryData
 
 
@@ -42,6 +43,7 @@ class WindowDataset:
         graph_mode: str = "dense",
         max_edges: int = 384,
         use_stored_contact_maps: bool = True,
+        use_native: bool = True,
     ):
         if traj.num_frames - window_size - horizon + 1 < 0:
             raise ValueError(
@@ -54,6 +56,9 @@ class WindowDataset:
         self.graph_mode = graph_mode
         self.max_edges = max_edges
         self.use_stored_contact_maps = use_stored_contact_maps
+        # Native C++ packer (csrc/packing.cpp) with transparent numpy
+        # fallback when the toolchain/library is unavailable.
+        self.use_native = use_native and packing.available()
         self.num_residues = traj.num_residues
 
         if use_stored_contact_maps:
@@ -82,16 +87,26 @@ class WindowDataset:
 
     def _windows(self, idx: np.ndarray):
         t = self.window_size
-        gather = idx[:, None] + np.arange(t)[None, :]
-        window = self.traj.positions[gather]  # (B, T, R, 3)
+        window = None
+        if self.use_native:
+            window = packing.gather_windows(self.traj.positions, idx, t)
+        if window is None:
+            gather = idx[:, None] + np.arange(t)[None, :]
+            window = self.traj.positions[gather]  # (B, T, R, 3)
         y = self.traj.positions[idx + t + self.horizon - 1]
-        return window.astype(np.float32), y.astype(np.float32)
+        return window.astype(np.float32, copy=False), y.astype(np.float32)
 
     def _dense_adj(self, idx: np.ndarray) -> np.ndarray:
         """Densify the stored contact maps of frames ``idx`` with one scatter."""
         b = len(idx)
         r = self.num_residues
         if self.use_stored_contact_maps:
+            if self.use_native:
+                out = packing.pack_dense_batch(
+                    self._edges_flat, self._offsets, idx, r
+                )
+                if out is not None:
+                    return out
             starts = self._offsets[idx]
             ends = self._offsets[idx + 1]
             counts = ends - starts
@@ -119,6 +134,12 @@ class WindowDataset:
         edges = np.zeros((b, 2, e_max), np.int32)
         mask = np.zeros((b, e_max), np.float32)
         if self.use_stored_contact_maps:
+            if self.use_native:
+                out = packing.pack_padded_batch(
+                    self._edges_flat, self._offsets, idx, e_max
+                )
+                if out is not None:
+                    return out
             starts = self._offsets[idx]
             ends = self._offsets[idx + 1]
             for i, (s, e) in enumerate(zip(starts, ends)):

@@ -198,6 +198,11 @@ def gkn_apply_single(
 
     latent = x
     out = linear_apply(params["fc2"], x)
+    if cfg.predict_delta:
+        # Residual prediction: head outputs a displacement from the last
+        # observed frame. (New capability — the reference predicts absolute
+        # coordinates, graph_kernel.py:305, which destabilizes free rollout.)
+        out = out + window[-1]
     if return_latent:
         return out, latent
     return out

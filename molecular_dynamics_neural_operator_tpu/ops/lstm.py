@@ -61,8 +61,12 @@ def lstm_apply(params, xs):
     """
     hidden = params["w_hh"].shape[0]
     batch_shape = xs.shape[1:-1]
-    h0 = jnp.zeros(batch_shape + (hidden,), xs.dtype)
-    c0 = jnp.zeros(batch_shape + (hidden,), xs.dtype)
+    # Tie the zero carry to xs (xs[0] * 0 broadcast) so its varying-axis
+    # type matches under shard_map — a plain jnp.zeros is "unvarying" and
+    # fails lax.scan's carry typing inside sharded regions.
+    zero_like_xs = xs[0, ..., :1] * 0  # (..., 1), inherits vma from xs
+    h0 = jnp.zeros(batch_shape + (hidden,), xs.dtype) + zero_like_xs
+    c0 = jnp.zeros(batch_shape + (hidden,), xs.dtype) + zero_like_xs
 
     def step(carry, x):
         h, c = carry

@@ -1,0 +1,113 @@
+"""Device mesh, shardings, and the multi-chip training step.
+
+TPU-native replacement for the reference's only parallelism —
+single-process PyG ``DataParallel`` scattering Python lists of graphs
+across GPUs (``/root/reference/graph_kernel.py:21,528-537``, SURVEY.md
+section 2 #18). Here parallelism is declarative:
+
+- a 2-D ``jax.sharding.Mesh`` with axes ``("data", "model")``,
+- **data parallelism**: batch axis of window/adjacency/target arrays
+  sharded over "data"; XLA inserts the gradient ``psum`` automatically when
+  the jitted loss reduces over the batch (static graph shapes make this
+  possible — no variable-size list scattering),
+- **model (edge) parallelism** hook: for systems whose padded edge list
+  exceeds one chip, the edge axis of sparse graphs shards over "model" and
+  partial segment-sums reduce with ``psum`` — the graph-world analogue of
+  sequence parallelism (SURVEY.md section 5, long-context note).
+
+Everything compiles with ``jit`` + ``NamedSharding`` (pjit); no explicit
+collectives are written by hand for the data-parallel path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from molecular_dynamics_neural_operator_tpu.configs import MeshConfig, ModelConfig
+from molecular_dynamics_neural_operator_tpu.train.loop import _loss_fn, featurize_batch
+from molecular_dynamics_neural_operator_tpu.train.state import TrainState
+
+
+def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
+    """Build a (data, model) mesh. With defaults (1, 1) collapses to one
+    device. data*model must equal len(devices)."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    data, model = cfg.data, cfg.model
+    if data * model != n:
+        # Auto-fill: all devices on the data axis unless model is given.
+        if model > 1 and n % model == 0:
+            data = n // model
+        else:
+            data, model = n, 1
+    grid = devices.reshape(data, model)
+    return Mesh(grid, cfg.axis_names)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """device_put a host batch: batch-major arrays sharded over "data",
+    the shared amino-acid labels replicated."""
+    data_sh = batch_sharding(mesh)
+    repl_sh = replicated_sharding(mesh)
+    out = {}
+    for k, v in batch.items():
+        out[k] = jax.device_put(v, repl_sh if k == "aa" else data_sh)
+    return out
+
+
+def make_sharded_train_step(
+    cfg: ModelConfig,
+    tx,
+    mesh: Mesh,
+    graph_frame: str = "first",
+):
+    """Data-parallel train step: params/opt-state replicated, batch sharded
+    over the "data" mesh axis. The batch-sum loss makes gradients a psum,
+    which XLA inserts from the sharding annotations alone.
+
+    Returns (step_fn, put_fn): call ``put_fn(host_batch)`` then
+    ``step_fn(state, device_batch)``.
+    """
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+
+    def step(state: TrainState, batch: dict):
+        gbatch = featurize_batch(cfg, batch, graph_frame)
+        (l2, (m, _)), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
+            state.params, cfg, gbatch
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+        new_state = TrainState(
+            params=params,
+            opt_state=opt_state,
+            step=state.step + 1,
+            rng=state.rng,
+        )
+        return new_state, {"rel_l2": l2, "mse": m}
+
+    del repl, data  # shardings are carried by the inputs (device_put in put)
+
+    # Input shardings propagate from the device_put batch and replicated
+    # state; XLA partitions the step and inserts the gradient psum. Donate
+    # the state for in-place update.
+    step_jit = jax.jit(step, donate_argnums=(0,))
+
+    def put(host_batch: dict) -> dict:
+        return shard_batch(mesh, host_batch)
+
+    return step_jit, put

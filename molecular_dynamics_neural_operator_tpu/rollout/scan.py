@@ -47,10 +47,15 @@ def _build_graph(cfg: ModelConfig, frame, threshold: float):
 
 
 def _step(params, cfg: ModelConfig, aa, window, threshold: float,
-          graph_frame: str):
+          graph_frame: str, clip: float | None = None):
     frame = window[-1] if graph_frame == "last" else window[0]
     graph = _build_graph(cfg, frame, threshold)
     out = gkn_apply_single(params, cfg, aa, window, graph)  # (R, 3)
+    if clip is not None:
+        # Safety rail on the feedback loop: bounds the coordinates fed back
+        # into the next step so an off-distribution model cannot push the
+        # rollout to inf/NaN. No-op for on-distribution predictions.
+        out = jnp.clip(out, -clip, clip)
     new_window = jnp.concatenate([window[1:], out[None]], axis=0)
     return new_window, out, graph
 
@@ -64,6 +69,7 @@ def rollout_scan(
     threshold: float = 8.0,
     graph_frame: str = "last",
     collect: str = "coords",
+    clip: float | None = None,
 ):
     """Roll the operator forward ``num_steps`` steps from window0 (T, R, 3).
 
@@ -73,7 +79,8 @@ def rollout_scan(
     """
 
     def body(window, _):
-        new_window, out, _ = _step(params, cfg, aa, window, threshold, graph_frame)
+        new_window, out, _ = _step(params, cfg, aa, window, threshold,
+                                   graph_frame, clip)
         if collect == "coords":
             y = out
         elif collect == "contact_maps":
@@ -97,13 +104,15 @@ def make_rollout_fn(
     graph_frame: str = "last",
     collect: str = "coords",
     batched: bool = False,
+    clip: float | None = None,
 ):
     """Jit-compiled rollout; ``batched=True`` vmaps over leading stream axis
     of window0 for multi-stream throughput."""
 
     def fn(params, aa, window0):
         return rollout_scan(
-            params, cfg, aa, window0, num_steps, threshold, graph_frame, collect
+            params, cfg, aa, window0, num_steps, threshold, graph_frame,
+            collect, clip,
         )
 
     if batched:

@@ -1,0 +1,89 @@
+"""Checkpoint save/restore for arbitrary pytrees.
+
+The reference saves ``{epoch, model, optimizer, scheduler}`` to ``best.pt``
+when validation improves (``/root/reference/graph_kernel.py:631-639``) and
+has no mid-run resume. Here save/restore is symmetric over the full
+``TrainState`` (params, optimizer state, step counter, PRNG key), so a run
+can resume exactly (SURVEY.md section 5).
+
+Format: a single ``.npz`` with flattened keypath names + a JSON sidecar
+holding the treedef and metadata — dependency-free, portable, and readable
+by plain numpy. An orbax-based alternative is unnecessary for these sizes
+(the flagship model is ~9 M params).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _flatten_with_paths(tree):
+    leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+    out = {}
+    for path, leaf in leaves:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        out[key] = np.asarray(leaf)
+    return out
+
+
+def save_checkpoint(path, tree, metadata: Optional[dict] = None) -> None:
+    """Write ``tree`` to ``path`` (.npz) with a ``path``.json sidecar."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    flat = _flatten_with_paths(tree)
+    np.savez(path, **flat)
+    treedef = jax.tree_util.tree_structure(tree)
+    side = {
+        "keys": list(flat.keys()),
+        "treedef": str(treedef),
+        "metadata": metadata or {},
+    }
+    path.with_suffix(path.suffix + ".json").write_text(json.dumps(side, indent=2))
+
+
+def restore_checkpoint(path, like) -> Tuple[Any, dict]:
+    """Restore into the structure of ``like`` (a template pytree with the
+    same treedef, e.g. a freshly-initialized TrainState). Returns
+    (tree, metadata)."""
+    path = Path(path)
+    data = np.load(path if path.suffix == ".npz" else path.with_suffix(".npz"))
+    side = json.loads(path.with_suffix(path.suffix + ".json").read_text())
+    flat_like = jax.tree_util.tree_flatten_with_path(like)
+    leaves = []
+    for p, leaf in flat_like[0]:
+        key = "/".join(str(getattr(x, "key", getattr(x, "idx", x))) for x in p)
+        if key not in data:
+            raise KeyError(f"checkpoint missing leaf {key}")
+        arr = data[key]
+        if hasattr(leaf, "dtype") and arr.dtype != leaf.dtype:
+            arr = arr.astype(leaf.dtype)
+        leaves.append(arr)
+    tree = jax.tree_util.tree_unflatten(flat_like[1], leaves)
+    return tree, side.get("metadata", {})
+
+
+class BestCheckpointer:
+    """Tracks best validation loss and writes ``best.npz`` on improvement
+    (reference behavior) plus optional periodic ``last.npz`` for resume."""
+
+    def __init__(self, run_dir, save_last_every: int = 1):
+        self.run_dir = Path(run_dir)
+        self.run_dir.mkdir(parents=True, exist_ok=True)
+        self.best_loss = float("inf")
+        self.save_last_every = max(1, save_last_every)
+
+    def update(self, epoch: int, valid_loss: float, state) -> bool:
+        """Returns True if this epoch was the new best."""
+        improved = valid_loss < self.best_loss
+        meta = {"epoch": epoch, "valid_loss": float(valid_loss)}
+        if improved:
+            self.best_loss = float(valid_loss)
+            save_checkpoint(self.run_dir / "best.npz", state, meta)
+        if epoch % self.save_last_every == 0:
+            save_checkpoint(self.run_dir / "last.npz", state, meta)
+        return improved

@@ -18,7 +18,15 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# sitecustomize pre-imports jax at interpreter startup (before this
+# conftest), so the env vars above can be too late — jax.config captured
+# JAX_PLATFORMS=axon at import. Backend selection is still undecided until
+# first device use, so force it here too.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on the CPU backend, got " + jax.devices()[0].platform
+)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,159 @@
+"""Mesh / sharding paths on the 8-device virtual CPU mesh.
+
+The reference's only parallelism is single-process PyG DataParallel
+(``graph_kernel.py:528``); these tests cover its TPU replacement — batch
+sharding over "data" — plus the edge-axis model parallelism that has no
+reference counterpart (SURVEY.md section 5).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from molecular_dynamics_neural_operator_tpu.configs import (
+    MeshConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from molecular_dynamics_neural_operator_tpu.geometry import (
+    contact_map,
+    dense_edge_features,
+    dense_to_padded_edges,
+    edge_features_from_edges,
+)
+from molecular_dynamics_neural_operator_tpu.models import (
+    DenseGraph,
+    GKNBatch,
+    SparseGraph,
+    gkn_apply,
+    gkn_init,
+)
+from molecular_dynamics_neural_operator_tpu.parallel import (
+    make_mesh,
+    make_sharded_train_step,
+    shard_batch,
+)
+from molecular_dynamics_neural_operator_tpu.parallel.edge_sharded import (
+    make_edge_sharded_forward,
+    make_edge_sharded_train_step,
+)
+from molecular_dynamics_neural_operator_tpu.train import (
+    create_train_state,
+    make_train_step,
+)
+
+
+def _sparse_inputs(cfg, b=8, seed=1):
+    pos = jax.random.normal(jax.random.PRNGKey(seed), (b, cfg.window_size,
+                                                       cfg.num_residues, 3)) * 4
+    aa = jnp.arange(cfg.num_residues, dtype=jnp.int32) % 20
+    adj = np.asarray(contact_map(pos[:, 0], 8.0))
+    edges = np.zeros((b, 2, cfg.max_edges), np.int32)
+    mask = np.zeros((b, cfg.max_edges), np.float32)
+    for i in range(b):
+        edges[i], mask[i] = dense_to_padded_edges(adj[i], cfg.max_edges)
+    edges, mask = jnp.asarray(edges), jnp.asarray(mask)
+    ef = jax.vmap(edge_features_from_edges)(pos[:, 0], edges)
+    y = jax.random.normal(jax.random.PRNGKey(seed + 1),
+                          (b, cfg.num_residues, 3))
+    return aa, pos, edges, mask, ef, y
+
+
+@pytest.fixture(scope="module")
+def sparse_cfg():
+    return ModelConfig(width=16, ker_width=32, depth=2, window_size=4,
+                       num_residues=12, max_edges=128, graph_mode="sparse",
+                       compute_dtype="float32")
+
+
+def test_mesh_autofill():
+    mesh = make_mesh(MeshConfig(data=1, model=1))
+    assert mesh.devices.size == len(jax.devices())
+    mesh2 = make_mesh(MeshConfig(data=4, model=2))
+    assert mesh2.shape == {"data": 4, "model": 2}
+
+
+def test_edge_sharded_forward_matches_single_device(sparse_cfg):
+    cfg = sparse_cfg
+    params = gkn_init(jax.random.PRNGKey(0), cfg)
+    aa, pos, edges, mask, ef, y = _sparse_inputs(cfg)
+    ref = gkn_apply(
+        params, cfg,
+        GKNBatch(aa, pos, SparseGraph(edges, mask, ef), y),
+    )
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    fwd = jax.jit(make_edge_sharded_forward(cfg, mesh))
+    out = fwd(params, aa, pos, edges, mask, ef)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_edge_sharded_train_step_matches_single_device(sparse_cfg):
+    cfg = sparse_cfg
+    tcfg = TrainConfig(lr=1e-3, batch_size=8)
+    aa, pos, edges, mask, ef, y = _sparse_inputs(cfg)
+
+    # single-device step through the standard path
+    state1, tx1, _ = create_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    step1 = make_train_step(cfg, tx1, donate=False)
+    batch = {"aa": aa, "window": pos, "y": y, "edges": edges, "mask": mask}
+    new1, m1 = step1(state1, batch)
+
+    # 2-D sharded step
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    state2, tx2, _ = create_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    step2 = make_edge_sharded_train_step(cfg, tx2, mesh)
+    new2, m2 = step2(state2, aa, pos, edges, mask, ef, y)
+
+    np.testing.assert_allclose(float(m1["rel_l2"]), float(m2["rel_l2"]),
+                               rtol=1e-5)
+    leaves1 = jax.tree_util.tree_leaves(new1.params)
+    leaves2 = jax.tree_util.tree_leaves(new2.params)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_data_parallel_train_step_runs_sharded(sparse_cfg):
+    cfg = dataclasses.replace(sparse_cfg, graph_mode="dense")
+    tcfg = TrainConfig(lr=1e-3, batch_size=8)
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    state, tx, _ = create_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    step, put = make_sharded_train_step(cfg, tx, mesh)
+
+    b, r, t = 8, cfg.num_residues, cfg.window_size
+    pos = np.random.default_rng(0).normal(size=(b, t, r, 3)).astype(np.float32) * 4
+    adj = np.asarray(contact_map(jnp.asarray(pos[:, 0]), 8.0))
+    host_batch = {
+        "aa": np.arange(r, dtype=np.int32) % 20,
+        "window": pos,
+        "y": pos[:, -1],
+        "adj": adj,
+    }
+    dev_batch = put(host_batch)
+    # the batch really is sharded over all 8 devices
+    assert len(dev_batch["window"].sharding.device_set) == 8
+    new_state, metrics = step(state, dev_batch)
+    assert np.isfinite(float(metrics["rel_l2"]))
+    assert int(new_state.step) == 1
+
+
+def test_graft_entry_and_dryrun():
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", "/root/repo/__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (8, 28, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+    mod.dryrun_multichip(8)

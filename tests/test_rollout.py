@@ -1,0 +1,113 @@
+"""Rollout semantics: scan == host-loop, window sliding, collect modes,
+clip rail, predict_delta, dense == sparse rollout."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from molecular_dynamics_neural_operator_tpu.configs import ModelConfig
+from molecular_dynamics_neural_operator_tpu.data import synthetic_trajectory
+from molecular_dynamics_neural_operator_tpu.geometry import contact_map
+from molecular_dynamics_neural_operator_tpu.models import gkn_init
+from molecular_dynamics_neural_operator_tpu.rollout import (
+    make_rollout_fn,
+    rollout_python_loop,
+    rollout_scan,
+    rollout_with_mse,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = ModelConfig(width=8, ker_width=16, depth=1, window_size=4,
+                      num_residues=10, max_edges=128,
+                      compute_dtype="float32", predict_delta=True)
+    params = gkn_init(jax.random.PRNGKey(0), cfg)
+    traj = synthetic_trajectory(num_frames=32, num_residues=10, seed=5)
+    aa = jnp.asarray(traj.aminoacids)
+    w0 = jnp.asarray(traj.positions[:4])
+    return cfg, params, traj, aa, w0
+
+
+def test_scan_matches_python_loop(setup):
+    cfg, params, traj, aa, w0 = setup
+    coords, final = rollout_scan(params, cfg, aa, w0, num_steps=6)
+    coords_loop, final_loop = rollout_python_loop(params, cfg, aa, w0, 6)
+    np.testing.assert_allclose(np.asarray(coords), coords_loop,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(final), np.asarray(final_loop),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_window_slide_semantics(setup):
+    cfg, params, traj, aa, w0 = setup
+    coords, final = rollout_scan(params, cfg, aa, w0, num_steps=6)
+    # final window = last window_size predictions (all original frames
+    # dropped after >= window_size steps), graph_kernel.py:407-409
+    np.testing.assert_allclose(np.asarray(final),
+                               np.asarray(coords[-cfg.window_size:]),
+                               rtol=1e-6)
+
+
+def test_collect_modes_consistent(setup):
+    cfg, params, traj, aa, w0 = setup
+    coords, _ = rollout_scan(params, cfg, aa, w0, 4, collect="coords")
+    cms, _ = rollout_scan(params, cfg, aa, w0, 4, collect="contact_maps")
+    (c2, m2), _ = rollout_scan(params, cfg, aa, w0, 4, collect="both")
+    np.testing.assert_allclose(np.asarray(coords), np.asarray(c2))
+    np.testing.assert_allclose(np.asarray(cms), np.asarray(m2))
+    for i in range(4):
+        np.testing.assert_array_equal(
+            np.asarray(cms[i]), np.asarray(contact_map(coords[i], 8.0))
+        )
+
+
+def test_clip_rail_bounds_feedback(setup):
+    cfg, params, traj, aa, w0 = setup
+    # absolute-coordinate model from random init diverges; clip keeps finite
+    cfg_abs = dataclasses.replace(cfg, predict_delta=False, depth=3)
+    params_abs = gkn_init(jax.random.PRNGKey(1), cfg_abs)
+    coords, _ = rollout_scan(params_abs, cfg_abs, aa, w0, 12, clip=50.0)
+    arr = np.asarray(coords)
+    assert np.isfinite(arr).all()
+    assert np.abs(arr).max() <= 50.0
+
+
+def test_predict_delta_stays_stable(setup):
+    cfg, params, traj, aa, w0 = setup
+    coords, _ = rollout_scan(params, cfg, aa, w0, 50)
+    arr = np.asarray(coords)
+    assert np.isfinite(arr).all()
+    # residual model stays in the data's coordinate range
+    assert np.abs(arr).max() < 10 * np.abs(traj.positions).max()
+
+
+def test_dense_and_sparse_rollout_agree(setup):
+    cfg, params, traj, aa, w0 = setup
+    cfg_sp = dataclasses.replace(cfg, graph_mode="sparse")
+    coords_d, _ = rollout_scan(params, cfg, aa, w0, 5)
+    coords_s, _ = rollout_scan(params, cfg_sp, aa, w0, 5)
+    np.testing.assert_allclose(np.asarray(coords_d), np.asarray(coords_s),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_rollout_with_mse_tracks_truth(setup):
+    cfg, params, traj, aa, w0 = setup
+    truth = jnp.asarray(traj.positions[4:10])
+    coords, mses, _ = rollout_with_mse(params, cfg, aa, w0, truth)
+    assert mses.shape == (6,)
+    ref0 = np.mean((np.asarray(coords[0]) - traj.positions[4]) ** 2)
+    np.testing.assert_allclose(float(mses[0]), ref0, rtol=1e-5)
+
+
+def test_batched_rollout_matches_single(setup):
+    cfg, params, traj, aa, w0 = setup
+    w0b = jnp.stack([w0, w0 + 0.1])
+    roll = make_rollout_fn(cfg, num_steps=3, batched=True)
+    coords_b, _ = roll(params, aa, w0b)
+    single, _ = rollout_scan(params, cfg, aa, w0, 3)
+    np.testing.assert_allclose(np.asarray(coords_b[0]), np.asarray(single),
+                               rtol=1e-5, atol=1e-6)

@@ -1,0 +1,101 @@
+"""Checkpoint/resume, metric sinks, movie/latent utilities."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from molecular_dynamics_neural_operator_tpu.configs import ModelConfig, TrainConfig
+from molecular_dynamics_neural_operator_tpu.train import create_train_state
+from molecular_dynamics_neural_operator_tpu.utils import (
+    BestCheckpointer,
+    MetricLogger,
+    format_epoch_line,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from molecular_dynamics_neural_operator_tpu.utils.metrics import parse_loss_log
+
+
+def _state(cfg=None):
+    cfg = cfg or ModelConfig(width=8, ker_width=16, depth=1, window_size=3,
+                             num_residues=6)
+    state, _, _ = create_train_state(jax.random.PRNGKey(0), cfg, TrainConfig())
+    return state
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = _state()
+    path = tmp_path / "ckpt.npz"
+    save_checkpoint(path, state, {"epoch": 7})
+    template = _state()  # fresh init, different values
+    restored, meta = restore_checkpoint(path, template)
+    assert meta["epoch"] == 7
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_best_checkpointer_tracks_improvement(tmp_path):
+    state = _state()
+    ck = BestCheckpointer(tmp_path)
+    assert ck.update(0, 1.0, state) is True
+    assert ck.update(1, 2.0, state) is False  # worse: no new best
+    assert ck.update(2, 0.5, state) is True
+    _, meta = restore_checkpoint(tmp_path / "best.npz", state)
+    assert meta["epoch"] == 2
+    assert (tmp_path / "last.npz").exists()
+
+
+def test_epoch_line_roundtrip():
+    line = format_epoch_line(3, 12.5, 0.25, 0.5)
+    rows = parse_loss_log("junk\n" + line + "\nmore junk")
+    assert rows == [{"epoch": 3, "time": 12.5, "train_loss": 0.25,
+                     "valid_loss": 0.5}]
+
+
+def test_metric_logger_jsonl(tmp_path, capsys):
+    logger = MetricLogger(tmp_path)
+    logger.log_epoch(0, 1.5, 0.9, 1.1)
+    logger.close()
+    out = capsys.readouterr().out
+    assert out.startswith("Epoch: 0\tTime: 1.5")
+    rows = [json.loads(l) for l in
+            (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    assert rows[0]["avg_train_loss"] == 0.9
+
+
+def test_latent_pca_and_viz(tmp_path):
+    from molecular_dynamics_neural_operator_tpu.utils.latent import (
+        log_latent_visualization,
+        pca_embed,
+    )
+
+    rng = np.random.default_rng(0)
+    latents = rng.normal(size=(50, 16)).astype(np.float32)
+    emb = pca_embed(latents)
+    assert emb.shape == (50, 2)
+    # PCA components are orthogonal directions of max variance
+    assert emb[:, 0].var() >= emb[:, 1].var()
+    paths = log_latent_visualization(
+        latents, {"RMSD": rng.normal(size=50)}, tmp_path, epoch=0,
+        method="PCA",
+    )
+    assert (tmp_path / "latent_space_epoch0.npy").exists()
+    for p in paths.values():
+        assert p.exists()
+
+
+def test_movie_renders(tmp_path):
+    from molecular_dynamics_neural_operator_tpu.utils.movie import (
+        render_propagation_movie,
+        select_starting_points,
+    )
+
+    rng = np.random.default_rng(0)
+    maps = [(rng.random((12, 12)) > 0.5).astype(np.float32) for _ in range(4)]
+    out = render_propagation_movie(tmp_path, 0, maps, maps)
+    assert out.exists()
+    pts = select_starting_points(200, 10)
+    assert len(pts) == 3 and pts[0] == 0 and pts[1] > 0 and pts[2] > pts[1]
