@@ -158,7 +158,13 @@ class WindowDataset:
                 mask[i, :n] = 1.0
         return edges, mask
 
-    def get_batch(self, idx: Sequence[int]) -> dict:
+    def get_batch(self, idx: Sequence[int],
+                  rollout_horizon: int = 0) -> dict:
+        """Assemble a batch. With ``rollout_horizon=K > 0`` also attaches
+        ``y_seq`` (B, K, R, 3): the K ground-truth frames following each
+        window, for the multi-step rollout curriculum
+        (train/curriculum.py). Indices must satisfy
+        idx + window_size + K <= num_frames."""
         idx = np.asarray(idx, np.int64)
         window, y = self._windows(idx)
         out = {
@@ -166,6 +172,15 @@ class WindowDataset:
             "window": window,
             "y": y,
         }
+        if rollout_horizon > 0:
+            t = self.window_size
+            gather = idx[:, None] + t + np.arange(rollout_horizon)[None, :]
+            if gather.max() >= self.traj.num_frames:
+                raise ValueError(
+                    "rollout_horizon exceeds trajectory length for these "
+                    "indices"
+                )
+            out["y_seq"] = self.traj.positions[gather].astype(np.float32)
         if self.graph_mode == "dense":
             out["adj"] = self._dense_adj(idx)
         else:
@@ -183,13 +198,22 @@ def batch_iterator(
     drop_last: bool = True,
     seed: int = 0,
     epoch: int = 0,
+    rollout_horizon: int = 0,
 ) -> Iterator[dict]:
-    """Deterministic shuffled batch stream (epoch folds into the seed)."""
+    """Deterministic shuffled batch stream (epoch folds into the seed).
+    With ``rollout_horizon=K``, indices whose K-step continuation would run
+    past the trajectory are dropped and batches carry ``y_seq``."""
     indices = np.asarray(indices, np.int64)
+    if rollout_horizon > 0:
+        limit = (
+            dataset.traj.num_frames - dataset.window_size - rollout_horizon
+        )
+        indices = indices[indices <= limit]
     if shuffle:
         rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
         indices = rng.permutation(indices)
     n = len(indices)
     end = n - (n % batch_size) if drop_last else n
     for i in range(0, end, batch_size):
-        yield dataset.get_batch(indices[i : i + batch_size])
+        yield dataset.get_batch(indices[i : i + batch_size],
+                                rollout_horizon=rollout_horizon)

@@ -1,0 +1,153 @@
+"""Fourier Neural Operator on C-alpha distance-matrix trajectories.
+
+Second operator family (BASELINE.json config 2): the protein state is the
+(R, R) pairwise-distance matrix; a window of them forms the input channels
+and the operator predicts the next distance matrix. Spectral convolutions
+ride the XLA FFT path (``jnp.fft.rfft2`` / ``irfft2``), keeping all FLOPs in
+batched complex matmuls — there is no reference implementation of this
+model (the reference is GKN-only); it is a new TPU-native capability over
+the same data (``dataset.py`` point clouds -> distance matrices).
+
+Standard FNO-2d layout: pointwise lift -> ``depth`` x (spectral conv on the
+lowest modes1 x modes2 modes + pointwise linear bypass, GELU) -> two-layer
+projection head. Complex spectral weights are stored as separate real/imag
+f32 leaves so checkpoints stay plain-numpy.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from molecular_dynamics_neural_operator_tpu.configs import FNOConfig
+from molecular_dynamics_neural_operator_tpu.ops import linear_apply, linear_init
+
+Array = jax.Array
+
+
+class FNOBatch(NamedTuple):
+    """x: (B, R, R, C_in) input channels (window of distance matrices);
+    y: (B, R, R, C_out) target (next distance matrix)."""
+
+    x: Array
+    y: Array
+
+
+def _spectral_init(key, width: int, modes1: int, modes2: int):
+    scale = 1.0 / (width * width)
+    kr, ki = jax.random.split(key)
+    shape = (width, width, modes1, modes2)
+    return {
+        "w_real": scale * jax.random.normal(kr, shape, jnp.float32),
+        "w_imag": scale * jax.random.normal(ki, shape, jnp.float32),
+    }
+
+
+def fno_init(key, cfg: FNOConfig):
+    keys = jax.random.split(key, cfg.depth * 2 + 3)
+    params = {
+        "lift": linear_init(keys[0], cfg.in_channels, cfg.width),
+        "proj1": linear_init(keys[1], cfg.width, 128),
+        "proj2": linear_init(keys[2], 128, cfg.out_channels),
+    }
+    for d in range(cfg.depth):
+        params[f"spectral_{d}"] = _spectral_init(
+            keys[3 + 2 * d], cfg.width, cfg.modes1, cfg.modes2
+        )
+        params[f"pointwise_{d}"] = linear_init(
+            keys[4 + 2 * d], cfg.width, cfg.width
+        )
+    return params
+
+
+def _spectral_conv(sp_params, x: Array, modes1: int, modes2: int) -> Array:
+    """x: (..., R, R, width) -> same shape; multiply the lowest Fourier
+    modes by per-mode (width, width) complex matrices."""
+    r1, r2, width = x.shape[-3], x.shape[-2], x.shape[-1]
+    w = sp_params["w_real"] + 1j * sp_params["w_imag"]  # (w, w, m1, m2)
+
+    # FFT over the two spatial axes (channels last).
+    xf = jnp.fft.rfft2(x, axes=(-3, -2))  # (..., R, R//2+1, width) complex
+
+    m1, m2 = modes1, modes2
+    lo = xf[..., :m1, :m2, :]  # low-frequency block (+m1 rows)
+    hi = xf[..., -m1:, :m2, :]  # conjugate-side rows (-m1 rows)
+    out_lo = jnp.einsum("...xyi,ioxy->...xyo", lo, w)
+    out_hi = jnp.einsum("...xyi,ioxy->...xyo", hi, jnp.conj(w))
+
+    out_f = jnp.zeros(xf.shape, xf.dtype)
+    out_f = out_f.at[..., :m1, :m2, :].set(out_lo)
+    out_f = out_f.at[..., -m1:, :m2, :].set(out_hi)
+    return jnp.fft.irfft2(out_f, s=(r1, r2), axes=(-3, -2))
+
+
+def fno_apply(params, cfg: FNOConfig, x: Array, return_latent: bool = False):
+    """x: (..., R, R, C_in) -> (..., R, R, C_out)."""
+    h = linear_apply(params["lift"], x)
+    for d in range(cfg.depth):
+        s = _spectral_conv(params[f"spectral_{d}"], h, cfg.modes1, cfg.modes2)
+        p = linear_apply(params[f"pointwise_{d}"], h)
+        h = jax.nn.gelu(s + p)
+    latent = h
+    h = jax.nn.gelu(linear_apply(params["proj1"], h))
+    out = linear_apply(params["proj2"], h)
+    if return_latent:
+        return out, latent
+    return out
+
+
+def distance_matrix_channels(positions: Array) -> Array:
+    """(T, R, 3) coordinate window -> (R, R, T) distance-matrix channels."""
+    diff = positions[:, :, None, :] - positions[:, None, :, :]
+    d = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
+    return jnp.moveaxis(d, 0, -1)
+
+
+def fno_rollout_scan(params, cfg: FNOConfig, channels0: Array,
+                     num_steps: int):
+    """Autoregressive distance-matrix rollout: predict the next matrix,
+    slide the channel window — one jitted scan, mirroring the GKN rollout
+    semantics (rollout/scan.py) on the FNO state representation."""
+
+    def body(channels, _):
+        pred = fno_apply(params, cfg, channels)  # (R, R, 1)
+        # distance matrices are symmetric with zero diagonal; project back
+        # onto that manifold to stabilize feedback
+        p = pred[..., 0]
+        p = 0.5 * (p + p.T)
+        p = p - jnp.diag(jnp.diag(p))
+        new_channels = jnp.concatenate(
+            [channels[..., 1:], p[..., None]], axis=-1
+        )
+        return new_channels, p
+
+    final, preds = jax.lax.scan(body, channels0, None, length=num_steps)
+    return preds, final
+
+
+def make_fno_train_step(cfg: FNOConfig, tx):
+    from molecular_dynamics_neural_operator_tpu.models.losses import lp_rel, mse
+    from molecular_dynamics_neural_operator_tpu.train.state import TrainState
+
+    def loss_fn(params, batch: FNOBatch):
+        out = fno_apply(params, cfg, batch.x)
+        b = out.shape[0]
+        return lp_rel(
+            out.reshape(b, -1), batch.y.reshape(b, -1), size_average=False
+        ), mse(out, batch.y)
+
+    @jax.jit
+    def step(state: TrainState, batch: FNOBatch):
+        (l2, m), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                        state.params, updates)
+        return TrainState(params, opt_state, state.step + 1, state.rng), {
+            "rel_l2": l2, "mse": m,
+        }
+
+    return step

@@ -168,6 +168,19 @@ def gkn_apply_single(
             x = jax.nn.relu(
                 edge_conv_dense(params["conv2"], x, masked2, inv_deg, cd)
             )
+    elif cfg.conv_impl == "pallas":
+        # Fused TPU kernel: edge-kernel MLP + both conv stacks in one
+        # pallas_call with weights and the kernel tensor VMEM-resident
+        # (ops/pallas/fused_gkn.py). Interpret mode off-TPU keeps the path
+        # testable on CPU.
+        from molecular_dynamics_neural_operator_tpu.ops.pallas import (
+            fused_gkn,
+        )
+
+        x = fused_gkn.fused_conv_stack_from_graph(
+            params, cfg, x, graph.edges, graph.mask, graph.edge_feats,
+            interpret=not fused_gkn.pallas_available(),
+        )
     else:
         kernels = edge_kernel_matrices(
             params["edge_kernel"], graph.edge_feats, w, compute_dtype=cd

@@ -1,0 +1,121 @@
+"""Multi-step rollout curriculum: teacher forcing -> free rollout, one graph.
+
+The reference trains purely teacher-forced (single-step targets,
+``graph_kernel.py:445-474``) and only rolls out at inference — a train/test
+mismatch that drives its rollout collapse (``bba_analysis.ipynb`` cells
+19-23). Here the training step itself unrolls K free-rollout steps inside
+the jitted graph — step 1 uses the dataset's stored graph (teacher
+semantics, ``dataset.py:189``), steps 2..K rebuild the graph on device from
+the model's own predictions exactly as inference does (``rollout/scan.py``)
+— and the loss is a weighted sum of per-step relative-L2 errors. K=1
+reduces to the reference's teacher-forced objective; raising K (optionally
+on a schedule) closes the exposure gap without recompilation per stage
+(K is static per step function; schedules swap between a small set of
+pre-jitted K values).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from molecular_dynamics_neural_operator_tpu.configs import ModelConfig
+from molecular_dynamics_neural_operator_tpu.models import gkn_apply_single
+from molecular_dynamics_neural_operator_tpu.models.losses import mse
+from molecular_dynamics_neural_operator_tpu.rollout.scan import _step as rollout_step
+from molecular_dynamics_neural_operator_tpu.train.loop import featurize_batch
+from molecular_dynamics_neural_operator_tpu.train.state import TrainState
+
+
+def _example_rel(pred, truth):
+    """Per-example relative L2 on flattened coordinates."""
+    diff = jnp.linalg.norm((pred - truth).reshape(-1))
+    denom = jnp.linalg.norm(truth.reshape(-1))
+    return diff / denom
+
+
+def curriculum_loss_single(
+    params,
+    cfg: ModelConfig,
+    aa,
+    window,
+    graph0,
+    y_seq,
+    threshold: float = 8.0,
+    step_weights: Optional[Sequence[float]] = None,
+):
+    """K-step rollout loss for one example.
+
+    window: (T, R, 3); graph0: stored graph of the window's first frame;
+    y_seq: (K, R, 3) ground-truth continuation. Returns (loss, last_pred).
+    """
+    k = y_seq.shape[0]
+    weights = (
+        jnp.asarray(step_weights, jnp.float32)
+        if step_weights is not None
+        else jnp.ones((k,), jnp.float32)
+    )
+    weights = weights / jnp.sum(weights)
+
+    # Step 1: teacher-semantics graph (the stored contact map).
+    out = gkn_apply_single(params, cfg, aa, window, graph0)
+    loss = weights[0] * _example_rel(out, y_seq[0])
+    sq_err = jnp.sum((out - y_seq[0]) ** 2)
+
+    if k > 1:
+        window = jnp.concatenate([window[1:], out[None]], axis=0)
+
+        def body(carry, inputs):
+            window, loss, sq = carry
+            y_true, w = inputs
+            new_window, out, _ = rollout_step(
+                params, cfg, aa, window, threshold, "last"
+            )
+            loss = loss + w * _example_rel(out, y_true)
+            sq = sq + jnp.sum((out - y_true) ** 2)
+            return (new_window, loss, sq), None
+
+        (window, loss, sq_err), _ = jax.lax.scan(
+            body, (window, loss, sq_err), (y_seq[1:], weights[1:])
+        )
+    return loss, sq_err / (k * y_seq.shape[-2] * y_seq.shape[-1])
+
+
+def make_curriculum_train_step(
+    cfg: ModelConfig,
+    tx,
+    rollout_steps: int,
+    threshold: float = 8.0,
+    step_weights: Optional[Sequence[float]] = None,
+    graph_frame: str = "first",
+):
+    """Jitted (state, host_batch) -> (state, metrics). The host batch must
+    carry ``y_seq`` (B, K, R, 3) (``WindowDataset.get_batch(...,
+    rollout_horizon=K)``)."""
+
+    def loss_fn(params, batch):
+        gbatch = featurize_batch(cfg, batch, graph_frame)
+        fn = lambda window, graph, y_seq: curriculum_loss_single(
+            params, cfg, gbatch.aa, window, graph, y_seq, threshold,
+            step_weights,
+        )
+        losses, mses = jax.vmap(fn)(gbatch.window, gbatch.graph,
+                                    batch["y_seq"])
+        # sum over batch (LpLoss(size_average=False) convention)
+        return jnp.sum(losses), jnp.mean(mses)
+
+    @jax.jit
+    def step(state: TrainState, batch):
+        (l2, m), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                        state.params, updates)
+        return TrainState(params, opt_state, state.step + 1, state.rng), {
+            "rel_l2": l2, "mse": m,
+        }
+
+    return step

@@ -1,0 +1,80 @@
+"""Multi-step rollout curriculum (train/curriculum.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from molecular_dynamics_neural_operator_tpu.configs import ModelConfig, TrainConfig
+from molecular_dynamics_neural_operator_tpu.data import (
+    WindowDataset,
+    batch_iterator,
+    synthetic_trajectory,
+)
+from molecular_dynamics_neural_operator_tpu.train import (
+    create_train_state,
+    make_train_step,
+)
+from molecular_dynamics_neural_operator_tpu.train.curriculum import (
+    make_curriculum_train_step,
+)
+
+
+def _setup(k_frames=80):
+    cfg = ModelConfig(width=8, ker_width=16, depth=1, window_size=4,
+                      num_residues=10, compute_dtype="float32",
+                      predict_delta=True)
+    tcfg = TrainConfig(lr=1e-3, weight_decay=0.0, batch_size=8)
+    traj = synthetic_trajectory(num_frames=k_frames, num_residues=10, seed=6)
+    ds = WindowDataset(traj, window_size=4)
+    return cfg, tcfg, traj, ds
+
+
+def test_k1_matches_teacher_forced_gradient():
+    """K=1 curriculum loss == the standard teacher-forced loss (same
+    stored-graph semantics), so parameter updates coincide."""
+    cfg, tcfg, traj, ds = _setup()
+    state0, tx, _ = create_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+
+    batch = ds.get_batch(np.arange(8), rollout_horizon=1)
+    # K=1: y_seq[:, 0] must equal the horizon-1 target y
+    np.testing.assert_allclose(batch["y_seq"][:, 0], batch["y"])
+
+    step_tf = make_train_step(cfg, tx, donate=False)
+    step_cu = make_curriculum_train_step(cfg, tx, rollout_steps=1)
+    s_tf, m_tf = step_tf(state0, {k: v for k, v in batch.items()
+                                  if k != "y_seq"})
+    s_cu, m_cu = step_cu(state0, batch)
+    # curriculum normalizes weights (sum=1), K=1 weight is 1 -> same loss
+    np.testing.assert_allclose(float(m_tf["rel_l2"]), float(m_cu["rel_l2"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_tf.params),
+                    jax.tree_util.tree_leaves(s_cu.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_k3_training_reduces_multistep_loss():
+    cfg, tcfg, traj, ds = _setup()
+    state, tx, _ = create_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    step = make_curriculum_train_step(cfg, tx, rollout_steps=3)
+    losses = []
+    for epoch in range(6):
+        for batch in batch_iterator(ds, np.arange(len(ds)), 8, seed=0,
+                                    epoch=epoch, rollout_horizon=3):
+            state, m = step(state, batch)
+        losses.append(float(m["rel_l2"]))
+    assert losses[-1] < losses[0], losses
+
+
+def test_horizon_bounds_respected():
+    cfg, tcfg, traj, ds = _setup(k_frames=20)
+    # iterator drops indices that would overrun the trajectory
+    batches = list(batch_iterator(ds, np.arange(len(ds)), 4, shuffle=False,
+                                  drop_last=False, rollout_horizon=5))
+    max_idx = traj.num_frames - ds.window_size - 5
+    total = sum(b["window"].shape[0] for b in batches)
+    assert total == max_idx + 1
+    import pytest
+
+    with pytest.raises(ValueError, match="rollout_horizon"):
+        ds.get_batch([len(ds) - 1], rollout_horizon=5)
