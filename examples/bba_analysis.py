@@ -1,0 +1,159 @@
+"""Offline analysis of a trained BBA operator — notebook-flow parity.
+
+Script equivalent of the reference's ``bba_analysis.ipynb`` (cells 0-38):
+
+1. load a checkpoint and rebuild the model,
+2. run a long free rollout (1,000 steps by default) via the jitted scan,
+3. compute per-step coordinate MSE vs ground truth (cell 19),
+4. render forecast-vs-real contact-map figures + GIF (cells 24-27),
+5. parse training stdout logs (``Epoch:\\tTime:\\t...``) into a table and
+   plot the loss curves (cells 35-38).
+
+Usage:
+    python examples/bba_analysis.py --data_path 1FME-0.h5 \
+        --checkpoint runs/bba/best.npz --out analysis/ \
+        [--train_log runs/bba/train.log] [--num_steps 1000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_path", type=Path, required=True)
+    p.add_argument("--checkpoint", type=Path, default=None)
+    p.add_argument("--out", type=Path, required=True)
+    p.add_argument("--num_steps", type=int, default=1000)
+    p.add_argument("--start_frame", type=int, default=0)
+    p.add_argument("--window_size", type=int, default=10)
+    p.add_argument("--width", type=int, default=64)
+    p.add_argument("--kernel_width", type=int, default=512)  # notebook cfg
+    p.add_argument("--depth", type=int, default=6)
+    p.add_argument("--num_movie_frames", type=int, default=20)
+    p.add_argument("--train_log", type=Path, default=None)
+    p.add_argument("--predict_delta", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from molecular_dynamics_neural_operator_tpu.configs import (
+        ModelConfig,
+        TrainConfig,
+    )
+    from molecular_dynamics_neural_operator_tpu.data import load_trajectory
+    from molecular_dynamics_neural_operator_tpu.geometry import contact_map
+    from molecular_dynamics_neural_operator_tpu.models import gkn_init
+    from molecular_dynamics_neural_operator_tpu.rollout import rollout_with_mse
+    from molecular_dynamics_neural_operator_tpu.train import create_train_state
+    from molecular_dynamics_neural_operator_tpu.utils import restore_checkpoint
+    from molecular_dynamics_neural_operator_tpu.utils.metrics import parse_loss_log
+    from molecular_dynamics_neural_operator_tpu.utils.movie import (
+        render_propagation_movie,
+    )
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    cfg = ModelConfig(width=args.width, ker_width=args.kernel_width,
+                      depth=args.depth, window_size=args.window_size,
+                      predict_delta=args.predict_delta)
+    traj = load_trajectory(args.data_path)
+
+    if args.checkpoint:
+        state, _, _ = create_train_state(jax.random.PRNGKey(0), cfg,
+                                         TrainConfig())
+        state, meta = restore_checkpoint(args.checkpoint, state)
+        params = state.params
+        print(f"loaded checkpoint epoch={meta.get('epoch')}")
+    else:
+        params = gkn_init(jax.random.PRNGKey(0), cfg)
+        print("random init (no checkpoint)")
+
+    s = args.start_frame
+    aa = jnp.asarray(traj.aminoacids)
+    window0 = jnp.asarray(traj.positions[s : s + cfg.window_size])
+    truth_lo = s + cfg.window_size
+    n = min(args.num_steps, traj.num_frames - truth_lo)
+    truth = jnp.asarray(traj.positions[truth_lo : truth_lo + n])
+
+    import time
+
+    t0 = time.time()
+    coords, mses, _ = jax.jit(
+        lambda p, a, w, t: rollout_with_mse(p, cfg, a, w, t)
+    )(params, aa, window0, truth)
+    coords = np.asarray(coords)
+    mses = np.asarray(mses)
+    dt = time.time() - t0
+    print(f"{n} rollout steps in {dt:.2f}s -> {n / dt:,.1f} steps/s "
+          f"(incl. compile)")
+    np.save(out / "forecast_coords.npy", coords)
+    np.save(out / "per_step_mse.npy", mses)
+    summary = {
+        "steps": int(n),
+        "steps_per_s": n / dt,
+        "mse_first": float(mses[0]),
+        "mse_at_100": float(mses[min(99, n - 1)]),
+        "mse_last": float(mses[-1]),
+        "finite_steps": int(np.isfinite(coords).all(axis=(1, 2)).sum()),
+    }
+    (out / "summary.json").write_text(json.dumps(summary, indent=2))
+    print(json.dumps(summary))
+
+    # forecast-vs-real contact maps
+    k = min(args.num_movie_frames, n)
+    fc = [np.asarray(contact_map(jnp.asarray(coords[i]))) for i in range(k)]
+    real = [
+        np.asarray(contact_map(jnp.asarray(traj.positions[truth_lo + i])))
+        for i in range(k)
+    ]
+    movie = render_propagation_movie(out, 0, fc, real)
+    print(f"movie: {movie}")
+
+    # per-step MSE curve
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots()
+        ax.plot(mses)
+        ax.set_xlabel("rollout step")
+        ax.set_ylabel("coordinate MSE")
+        ax.set_yscale("log")
+        fig.savefig(out / "per_step_mse.png", dpi=150)
+        plt.close(fig)
+    except Exception:
+        pass
+
+    # training-log parsing (notebook cells 35-38)
+    if args.train_log and args.train_log.exists():
+        rows = parse_loss_log(args.train_log.read_text())
+        (out / "loss_table.json").write_text(json.dumps(rows, indent=2))
+        try:
+            import matplotlib.pyplot as plt
+
+            fig, ax = plt.subplots()
+            ax.plot([r["epoch"] for r in rows],
+                    [r["train_loss"] for r in rows], label="train")
+            ax.plot([r["epoch"] for r in rows],
+                    [r["valid_loss"] for r in rows], label="valid")
+            ax.set_xlabel("epoch")
+            ax.set_ylabel("rel-L2 loss")
+            ax.legend()
+            fig.savefig(out / "loss_curves.png", dpi=150)
+            plt.close(fig)
+        except Exception:
+            pass
+        print(f"parsed {len(rows)} epoch lines from {args.train_log}")
+
+
+if __name__ == "__main__":
+    main()

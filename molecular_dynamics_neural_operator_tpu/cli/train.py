@@ -41,7 +41,11 @@ def parse_args(argv=None):
     p.add_argument("--plot_per_epochs", type=int, default=1)
     p.add_argument("--window_size", type=int, default=10)
     p.add_argument("--num_residues", type=int, default=28)
+    p.add_argument("--horizon", type=int, default=1,
+                   help="prediction horizon (dataset.py:91-92)")
     p.add_argument("--node_features_path", type=Path, default=None)
+    p.add_argument("--rollout_steps", type=int, default=0,
+                   help="K>0 enables the K-step rollout curriculum loss")
     # TPU-framework extensions (not in the reference):
     p.add_argument("--graph_mode", choices=["dense", "sparse"], default="dense")
     p.add_argument("--max_edges", type=int, default=384)
@@ -89,9 +93,11 @@ def build_configs(args):
             str(args.node_features_path) if args.node_features_path else None
         ),
         window_size=args.window_size,
+        horizon=args.horizon,
         split_pct=args.split_pct,
     )
     train = TrainConfig(
+        rollout_steps=args.rollout_steps,
         seed=args.seed,
         epochs=args.epochs,
         batch_size=args.batch_size,
@@ -163,6 +169,7 @@ def main(argv=None):
     dataset = WindowDataset(
         traj,
         window_size=model_cfg.window_size,
+        horizon=data_cfg.horizon,
         threshold=data_cfg.threshold,
         graph_mode=model_cfg.graph_mode,
         max_edges=model_cfg.max_edges,
@@ -187,7 +194,18 @@ def main(argv=None):
         print(f"Resumed from {args.resume} at epoch {start_epoch}")
 
     put = None
-    if args.data_parallel and len(jax.devices()) > 1:
+    if train_cfg.rollout_steps > 0:
+        from molecular_dynamics_neural_operator_tpu.train.curriculum import (
+            make_curriculum_train_step,
+        )
+
+        train_step = make_curriculum_train_step(
+            model_cfg, tx, rollout_steps=train_cfg.rollout_steps,
+            threshold=data_cfg.threshold,
+        )
+        print(f"Curriculum training: K={train_cfg.rollout_steps} rollout "
+              "steps in the loss")
+    elif args.data_parallel and len(jax.devices()) > 1:
         mesh = make_mesh()
         train_step, put = make_sharded_train_step(model_cfg, tx, mesh)
     else:
@@ -208,6 +226,7 @@ def main(argv=None):
         state, train_m = train_epoch(
             state, train_step, dataset, tr_idx, train_cfg.batch_size,
             seed=train_cfg.seed, epoch=epoch, put=put,
+            rollout_horizon=train_cfg.rollout_steps,
         )
         valid_m = eval_epoch(
             state.params, eval_step, dataset, va_idx, train_cfg.batch_size,

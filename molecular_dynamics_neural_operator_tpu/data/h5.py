@@ -38,6 +38,27 @@ def aminoacid_int_to_onehot(labels: np.ndarray) -> np.ndarray:
     return onehot
 
 
+def compute_node_features(
+    labels: np.ndarray,
+    node_feature: str = "amino_acid_onehot",
+    num_nodes: Optional[int] = None,
+    constant_num_node_features: int = 20,
+) -> np.ndarray:
+    """Reference node-feature modes (``dataset.py:166-175``): "constant"
+    (all-ones), "identity" (eye), "amino_acid_onehot". The training path
+    uses raw integer labels for the embedding (``dataset.py:162-164``);
+    these exist for capability parity with models consuming feature
+    vectors directly."""
+    n = num_nodes if num_nodes is not None else len(labels)
+    if node_feature == "constant":
+        return np.ones((n, constant_num_node_features), np.float32)
+    if node_feature == "identity":
+        return np.eye(n, dtype=np.float32)
+    if node_feature == "amino_acid_onehot":
+        return aminoacid_int_to_onehot(labels)
+    raise ValueError(f"node_feature: {node_feature} not supported.")
+
+
 @dataclass
 class TrajectoryData:
     """In-memory trajectory: positions (N, R, 3) f32, per-frame ragged COO

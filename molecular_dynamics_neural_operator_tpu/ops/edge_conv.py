@@ -145,7 +145,20 @@ def edge_conv_sparse(
     return agg + root + conv_params["bias"]
 
 
-def sparse_inv_degree(edges: Array, mask: Array, num_nodes: int) -> Array:
-    """1 / (number of real incoming edges) per target node, min degree 1."""
-    deg = jax.ops.segment_sum(mask, edges[1], num_segments=num_nodes)
+def sparse_inv_degree(edges: Array, mask: Array, num_nodes: int,
+                      scatter_mode: str = "onehot") -> Array:
+    """1 / (number of real incoming edges) per target node, min degree 1.
+
+    Default "onehot" counts degrees with a one-hot matvec — scatter-free,
+    so it stays fast under vmap (a vmapped ``segment_sum`` lowers to a
+    batched scatter, which serializes on TPU). "segment" is for large node
+    counts where an (E, N) one-hot would not pay.
+    """
+    if scatter_mode == "onehot":
+        s = (edges[1][:, None] == jnp.arange(num_nodes)[None, :]).astype(
+            mask.dtype
+        )
+        deg = jnp.dot(mask, s, preferred_element_type=jnp.float32)
+    else:
+        deg = jax.ops.segment_sum(mask, edges[1], num_segments=num_nodes)
     return 1.0 / jnp.maximum(deg, 1.0)

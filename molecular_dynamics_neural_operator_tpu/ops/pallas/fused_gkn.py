@@ -13,15 +13,22 @@ rollout step, and the (E, width^2) kernel tensor is re-read by each of the
 traffic per invocation is just the inputs/outputs (~11 MB of weights once,
 vs ~50 MB re-streamed).
 
-MXU mapping of the per-edge matvec (the part XLA executes poorly, at M=1
-per edge): with K laid out (E, w*w) row-major by input channel,
+The per-edge matvec m[e, v] = sum_wi xs[e, wi] * K[e, wi*w + v] is a
+statically-unrolled VPU FMA over lane slices of the resident kernel tensor
+(an earlier REP/RED one-hot-matmul formulation moved it to the MXU but
+inflated FLOPs width-fold). Gather and scatter ride one-hot incidence
+matmuls (G, D) as in the XLA path; the op is intrinsically
+elementwise-bound since every data-dependent kernel weight is used exactly
+once (arithmetic intensity O(1)).
 
-    xs_rep = xs @ REP          REP[wi, wi*w + v] = 1    (E, w*w)  MXU
-    P      = xs_rep * K                                  (E, w*w)  VPU
-    m      = P @ RED           RED[wi*w + v, v] = 1      (E, w)    MXU
-
-which is exactly m[e, v] = sum_wi xs[e, wi] * K[e, wi*w + v]. Gather and
-scatter ride one-hot incidence matmuls (G, D) as in the XLA path.
+**Status: experimental, correct, and currently SLOWER than the XLA path.**
+Measured on one TPU v5e at reference scale (E=384, width 64, depth 6)
+inside the rollout scan: XLA 16.4k steps/s, this kernel 6.1k (lean FMA) /
+7.7k (REP/RED). XLA's fusion already keeps the hot loop near the VPU
+structural floor; the remaining win (weight residency across scan steps,
+~13 us/step) needs a persistent grid-over-steps kernel, left for a later
+round. The kernel stays available via ``ModelConfig.conv_impl="pallas"``
+and is exact vs the XLA path in f32 (tests/test_pallas_fused.py).
 
 Static shapes: R padded to a multiple of 8, E a multiple of 8, w = width.
 Falls back to interpret mode off-TPU (tests run it on CPU).
@@ -77,7 +84,6 @@ def _kernel(
     ef_ref, mask_ref, g_ref, d_ref, invdeg_ref, x0_ref,
     w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     root1_ref, bias1_ref, root2_ref, bias2_ref,
-    rep_ref, red_ref,
     # outputs
     out_ref,
     # scratch
@@ -103,18 +109,23 @@ def _kernel(
     g = g_ref[:].astype(cd)            # (E, R) source one-hot
     d = d_ref[:].astype(cd)            # (E, R) target one-hot
     inv_deg = invdeg_ref[:]            # (R, 1) f32
-    rep = rep_ref[:]                   # (w, w*w) bf16
-    red = red_ref[:]                   # (w*w, w) bf16
 
     x = x0_ref[:]                      # (R, w) f32
+    kt = k_scratch[:]                  # (E, w*w) resident
 
     for layer in range(2 * depth):
         root = root1_ref[:] if layer < depth else root2_ref[:]
         bias = bias1_ref[:] if layer < depth else bias2_ref[:]
         xs = jnp.dot(g, x.astype(cd), preferred_element_type=f32)  # (E, w)
-        xs_rep = jnp.dot(xs.astype(cd), rep, preferred_element_type=f32)
-        p = (xs_rep.astype(cd) * k_scratch[:]).astype(cd)          # (E, w*w)
-        m = jnp.dot(p, red, preferred_element_type=f32)            # (E, w)
+        # per-edge matvec as a statically-unrolled FMA over input channels:
+        # m[e, v] = sum_wi xs[e, wi] * K[e, wi*w + v]. Lane slices of the
+        # resident kernel tensor; accumulate in f32 on the VPU.
+        xs = xs.astype(cd)
+        m = (xs[:, 0:1] * kt[:, 0:width]).astype(f32)
+        for wi in range(1, width):
+            m = m + (
+                xs[:, wi : wi + 1] * kt[:, wi * width : (wi + 1) * width]
+            ).astype(f32)
         # scatter-add to targets: D^T @ m without materializing D^T
         agg = jax.lax.dot_general(
             d, m.astype(cd),
@@ -198,7 +209,6 @@ def fused_edge_conv_stack(
     root (width, width) / bias (1, width) pairs. Returns (R_pad, width).
     """
     cd = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
-    rep, red = _rep_red(width, cd)
     e, _ = ef.shape
     r = x0.shape[0]
 
@@ -208,7 +218,7 @@ def fused_edge_conv_stack(
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((r, width), jnp.float32),
-        in_specs=[vmem] * 18,
+        in_specs=[vmem] * 16,
         out_specs=vmem,
         scratch_shapes=[pltpu.VMEM((e, width * width), cd)],
         interpret=interpret,
@@ -219,5 +229,4 @@ def fused_edge_conv_stack(
         ef, mask, g, d, inv_deg, x0,
         w1, b1, w2, b2, w3, b3,
         root1, bias1, root2, bias2,
-        rep, red,
     )

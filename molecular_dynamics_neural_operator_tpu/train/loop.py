@@ -100,16 +100,17 @@ def make_eval_step(cfg: ModelConfig, graph_frame: str = "first"):
 
 def train_epoch(state, train_step, dataset, indices, batch_size, *,
                 shuffle=True, drop_last=True, seed=0, epoch=0,
-                put: Optional[Callable] = None):
+                put: Optional[Callable] = None, rollout_horizon: int = 0):
     """Host loop over one epoch. ``put`` optionally shards/transfers the
-    host batch (parallel.mesh.make_batch_put); identity by default."""
+    host batch (parallel.shard_batch); identity by default.
+    ``rollout_horizon=K`` attaches y_seq for the curriculum step."""
     from molecular_dynamics_neural_operator_tpu.data import batch_iterator
 
     total = {"rel_l2": 0.0, "mse": 0.0}
     n = 0
     for batch in batch_iterator(
         dataset, indices, batch_size, shuffle=shuffle, drop_last=drop_last,
-        seed=seed, epoch=epoch,
+        seed=seed, epoch=epoch, rollout_horizon=rollout_horizon,
     ):
         if put is not None:
             batch = put(batch)
