@@ -46,6 +46,12 @@ def parse_args(argv=None):
     p.add_argument("--node_features_path", type=Path, default=None)
     p.add_argument("--rollout_steps", type=int, default=0,
                    help="K>0 enables the K-step rollout curriculum loss")
+    p.add_argument("--operator", choices=["gkn", "fno"], default="gkn",
+                   help="operator family: graph kernel network (reference "
+                        "parity) or FNO on distance matrices")
+    p.add_argument("--fno_modes", type=int, default=12)
+    p.add_argument("--fno_width", type=int, default=32)
+    p.add_argument("--fno_depth", type=int, default=4)
     # TPU-framework extensions (not in the reference):
     p.add_argument("--graph_mode", choices=["dense", "sparse"], default="dense")
     p.add_argument("--max_edges", type=int, default=384)
@@ -116,9 +122,116 @@ def build_configs(args):
     return model, data, train
 
 
+def _main_fno(args, data_cfg, train_cfg):
+    """FNO training path: same data/split/checkpoint/metrics machinery,
+    distance-matrix featurization on device (models/fno.py)."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from molecular_dynamics_neural_operator_tpu.configs import FNOConfig
+    from molecular_dynamics_neural_operator_tpu.data import (
+        WindowDataset,
+        batch_iterator,
+        load_trajectory,
+    )
+    from molecular_dynamics_neural_operator_tpu.models.fno import (
+        distance_matrix_channels,
+        fno_init,
+        fno_rollout_scan,
+        make_fno_window_eval_step,
+        make_fno_window_train_step,
+    )
+    from molecular_dynamics_neural_operator_tpu.train import train_valid_split
+    from molecular_dynamics_neural_operator_tpu.train.optim import make_optimizer
+    from molecular_dynamics_neural_operator_tpu.train.state import TrainState
+    from molecular_dynamics_neural_operator_tpu.utils import (
+        BestCheckpointer,
+        MetricLogger,
+    )
+    from molecular_dynamics_neural_operator_tpu.utils.movie import (
+        render_propagation_movie,
+    )
+
+    run_dir = Path(train_cfg.run_path)
+    run_dir.mkdir(parents=True, exist_ok=True)
+    traj = load_trajectory(data_cfg.data_path)
+    cfg = FNOConfig(
+        width=args.fno_width, modes1=args.fno_modes, modes2=args.fno_modes,
+        depth=args.fno_depth, in_channels=args.window_size,
+        num_residues=traj.num_residues,
+    )
+    ds = WindowDataset(traj, window_size=args.window_size,
+                       horizon=data_cfg.horizon, graph_mode="dense")
+    tr_idx, va_idx = train_valid_split(len(ds), data_cfg.split_pct,
+                                       data_cfg.split_method)
+    steps_per_epoch = max(1, len(tr_idx) // train_cfg.batch_size)
+    tx, _ = make_optimizer(train_cfg.lr, train_cfg.weight_decay,
+                           train_cfg.scheduler_step,
+                           train_cfg.scheduler_gamma, steps_per_epoch)
+    params = fno_init(jax.random.PRNGKey(train_cfg.seed), cfg)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32),
+                       jax.random.PRNGKey(train_cfg.seed))
+    step = make_fno_window_train_step(cfg, tx)
+    eval_step = make_fno_window_eval_step(cfg)
+    logger = MetricLogger(run_dir, use_wandb=train_cfg.log_wandb)
+    ckpt = BestCheckpointer(run_dir)
+    print(f"FNO training: {len(ds)} windows, R={traj.num_residues}")
+
+    for epoch in range(train_cfg.epochs):
+        t0 = _time.time()
+        tr_loss = n = 0
+        for batch in batch_iterator(ds, tr_idx, train_cfg.batch_size,
+                                    seed=train_cfg.seed, epoch=epoch):
+            state, m = step(state, batch)
+            tr_loss += float(m["rel_l2"])
+            n += 1
+        tr_loss /= max(n, 1)
+        va_loss = n = 0
+        for batch in batch_iterator(ds, va_idx, train_cfg.batch_size,
+                                    shuffle=False):
+            m = eval_step(state.params, batch)
+            va_loss += float(m["rel_l2"])
+            n += 1
+        va_loss /= max(n, 1)
+
+        extra = {}
+        if train_cfg.generate_movie and epoch % train_cfg.plot_per_epochs == 0:
+            ch0 = distance_matrix_channels(
+                jnp.asarray(traj.positions[va_idx[0] : va_idx[0]
+                                           + args.window_size])
+            )
+            preds, _ = fno_rollout_scan(state.params, cfg, ch0,
+                                        train_cfg.num_movie_frames)
+            fc = [(np.asarray(p) < data_cfg.threshold).astype(np.float32)
+                  for p in preds]
+            real = []
+            for i in range(train_cfg.num_movie_frames):
+                idx = min(va_idx[0] + args.window_size + i,
+                          traj.num_frames - 1)
+                d = np.linalg.norm(
+                    traj.positions[idx][:, None] - traj.positions[idx][None],
+                    axis=-1,
+                )
+                real.append((d < data_cfg.threshold).astype(np.float32))
+            extra["movie"] = str(
+                render_propagation_movie(run_dir, epoch, fc, real)
+            )
+
+        logger.log_epoch(epoch, _time.time() - t0, tr_loss, va_loss, extra)
+        ckpt.update(epoch, va_loss, state)
+    logger.close()
+    return state
+
+
 def main(argv=None):
     args = parse_args(argv)
     model_cfg, data_cfg, train_cfg = build_configs(args)
+
+    if args.operator == "fno":
+        return _main_fno(args, data_cfg, train_cfg)
 
     import jax
     import numpy as np
@@ -219,6 +332,17 @@ def main(argv=None):
     starting_points = select_starting_points(
         len(va_idx), model_cfg.window_size
     )
+    if train_cfg.plot_latent and traj.rmsd is not None:
+        # RMSD color dict artifact (graph_kernel.py:575-581 parity)
+        import pickle
+
+        n_lat = min(train_cfg.latent_frames, len(va_idx))
+        color_dict = {
+            "RMSD": np.asarray(traj.rmsd[va_idx[0] : va_idx[0] + n_lat])
+        }
+        (run_dir / "latent_color_dict.pkl").write_bytes(
+            pickle.dumps(color_dict)
+        )
     print("Started training")
 
     for epoch in range(start_epoch, train_cfg.epochs):

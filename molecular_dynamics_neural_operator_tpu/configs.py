@@ -102,6 +102,8 @@ class TrainConfig:
     weight_decay: float = 5e-4
     scheduler_step: int = 50
     scheduler_gamma: float = 0.8
+    grad_clip_norm: float = 0.0  # >0 enables global-norm gradient clipping
+    skip_nonfinite_updates: bool = False  # reject NaN/inf update steps
     drop_last: bool = True
     shuffle: bool = True
     # Curriculum: number of free-rollout steps mixed into the loss

@@ -127,6 +127,62 @@ def fno_rollout_scan(params, cfg: FNOConfig, channels0: Array,
     return preds, final
 
 
+def window_batch_to_fno(batch: dict) -> "FNOBatch":
+    """Adapt a coordinate WindowDataset batch to FNO distance channels.
+
+    window (B, T, R, 3) -> x (B, R, R, T); y (B, R, 3) -> (B, R, R, 1).
+    Runs on device inside the jitted step.
+    """
+    x = jax.vmap(distance_matrix_channels)(batch["window"])
+    y = jax.vmap(distance_matrix_channels)(batch["y"][:, None])
+    return FNOBatch(x=x, y=y)
+
+
+def make_fno_window_train_step(cfg: FNOConfig, tx):
+    """Jitted (state, window-batch dict) -> (state, metrics): featurize to
+    distance matrices on device inside the same compiled step."""
+    from molecular_dynamics_neural_operator_tpu.models.losses import lp_rel, mse
+    from molecular_dynamics_neural_operator_tpu.train.state import TrainState
+
+    def loss_fn(params, fb: FNOBatch):
+        out = fno_apply(params, cfg, fb.x)
+        b = out.shape[0]
+        return lp_rel(out.reshape(b, -1), fb.y.reshape(b, -1),
+                      size_average=False), mse(out, fb.y)
+
+    @jax.jit
+    def step(state: TrainState, batch: dict):
+        fb = window_batch_to_fno(batch)
+        (l2, m), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, fb
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                        state.params, updates)
+        return TrainState(params, opt_state, state.step + 1, state.rng), {
+            "rel_l2": l2, "mse": m,
+        }
+
+    return step
+
+
+def make_fno_window_eval_step(cfg: FNOConfig):
+    from molecular_dynamics_neural_operator_tpu.models.losses import lp_rel, mse
+
+    @jax.jit
+    def step(params, batch: dict):
+        fb = window_batch_to_fno(batch)
+        out = fno_apply(params, cfg, fb.x)
+        b = out.shape[0]
+        return {
+            "rel_l2": lp_rel(out.reshape(b, -1), fb.y.reshape(b, -1),
+                             size_average=False),
+            "mse": mse(out, fb.y),
+        }
+
+    return step
+
+
 def make_fno_train_step(cfg: FNOConfig, tx):
     from molecular_dynamics_neural_operator_tpu.models.losses import lp_rel, mse
     from molecular_dynamics_neural_operator_tpu.train.state import TrainState

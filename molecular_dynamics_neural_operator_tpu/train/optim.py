@@ -31,10 +31,26 @@ def make_optimizer(
     scheduler_step: int = 50,
     scheduler_gamma: float = 0.8,
     steps_per_epoch: int = 1,
+    grad_clip_norm: float = 0.0,
+    skip_nonfinite_updates: bool = False,
 ):
+    """grad_clip_norm > 0 prepends global-norm clipping, and
+    ``skip_nonfinite_updates`` wraps the whole chain in
+    ``optax.apply_if_finite`` (a non-finite gradient skips the step instead
+    of poisoning the parameters — note clip_by_global_norm alone propagates
+    NaN). Both matter for the rollout curriculum, whose unrolled
+    multi-step backward can spike; the reference trains purely
+    teacher-forced and has no counterpart."""
     schedule = step_lr_schedule(lr, scheduler_step, scheduler_gamma, steps_per_epoch)
-    return optax.chain(
+    parts = []
+    if grad_clip_norm and grad_clip_norm > 0:
+        parts.append(optax.clip_by_global_norm(grad_clip_norm))
+    parts += [
         optax.add_decayed_weights(weight_decay),  # torch-Adam-style L2
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
         optax.scale_by_learning_rate(schedule),
-    ), schedule
+    ]
+    tx = optax.chain(*parts)
+    if skip_nonfinite_updates:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+    return tx, schedule

@@ -40,6 +40,8 @@ def create_train_state(
         scheduler_step=train_cfg.scheduler_step,
         scheduler_gamma=train_cfg.scheduler_gamma,
         steps_per_epoch=steps_per_epoch,
+        grad_clip_norm=train_cfg.grad_clip_norm,
+        skip_nonfinite_updates=train_cfg.skip_nonfinite_updates,
     )
     opt_state = tx.init(params)
     state = TrainState(

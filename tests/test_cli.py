@@ -1,0 +1,98 @@
+"""CLI entry points drive end-to-end on tiny synthetic data (subprocess-
+free: call main() in-process on the CPU backend)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from molecular_dynamics_neural_operator_tpu.data import write_synthetic_h5
+
+
+@pytest.fixture()
+def h5(tmp_path):
+    path = tmp_path / "traj.h5"
+    write_synthetic_h5(path, num_frames=60, num_residues=14, seed=8)
+    return path
+
+
+def _common(h5, run):
+    return [
+        "--data_path", str(h5), "--run_path", str(run),
+        "--epochs", "1", "--batch_size", "4", "--lr", "0.001",
+        "--window_size", "4", "--num_residues", "14",
+        "--compute_dtype", "float32",
+        "--generate_movie", "False", "--plot_latent", "False",
+    ]
+
+
+def test_train_cli_gkn(h5, tmp_path):
+    from molecular_dynamics_neural_operator_tpu.cli import train as cli_train
+
+    run = tmp_path / "run"
+    cli_train.main(_common(h5, run) + [
+        "--width", "8", "--kernel_width", "16", "--depth", "1",
+    ])
+    assert (run / "best.npz").exists()
+    assert (run / "config.json").exists()
+    rows = [json.loads(l) for l in
+            (run / "metrics.jsonl").read_text().splitlines()]
+    assert rows and "avg_train_loss" in rows[0]
+
+
+def test_train_cli_fno(h5, tmp_path):
+    from molecular_dynamics_neural_operator_tpu.cli import train as cli_train
+
+    run = tmp_path / "runf"
+    cli_train.main(_common(h5, run) + [
+        "--operator", "fno", "--fno_width", "8", "--fno_modes", "4",
+        "--fno_depth", "1",
+    ])
+    assert (run / "best.npz").exists()
+
+
+def test_train_cli_curriculum(h5, tmp_path):
+    from molecular_dynamics_neural_operator_tpu.cli import train as cli_train
+
+    run = tmp_path / "runc"
+    cli_train.main(_common(h5, run) + [
+        "--width", "8", "--kernel_width", "16", "--depth", "1",
+        "--rollout_steps", "2", "--predict_delta",
+    ])
+    assert (run / "best.npz").exists()
+
+
+def test_rollout_cli(h5, tmp_path):
+    from molecular_dynamics_neural_operator_tpu.cli import rollout as cli_roll
+
+    out = tmp_path / "roll"
+    summary = cli_roll.main([
+        "--data_path", str(h5), "--out_path", str(out),
+        "--num_steps", "5", "--window_size", "4",
+        "--width", "8", "--kernel_width", "16", "--depth", "1",
+        "--num_residues", "14", "--compute_dtype", "float32",
+        "--predict_delta",
+    ])
+    assert (out / "forecast_coords.npy").exists()
+    coords = np.load(out / "forecast_coords.npy")
+    assert coords.shape == (5, 14, 3)
+    assert summary["num_steps"] == 5
+
+
+def test_preprocess_cli_dh_mode(h5, tmp_path):
+    from molecular_dynamics_neural_operator_tpu.cli import (
+        preprocess as cli_pre,
+    )
+
+    written = cli_pre.main([
+        "--pdb_files", "x", "--traj_files", str(h5),
+        "--scratch_dir", str(tmp_path / "s"),
+        "--results_dir", str(tmp_path / "r"),
+        "--mode", "dh", "--grid_dime", "6", "5", "4",
+        "--grid_lengths", "20", "20", "20",
+    ])
+    assert len(written) == 1
+    grid = np.load(written[0])
+    assert grid.shape == (60, 6, 5, 4)
+    assert np.isfinite(grid).all()

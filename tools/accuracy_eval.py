@@ -1,0 +1,112 @@
+"""Train-and-evaluate accuracy gate: rollout contact-map fidelity.
+
+Trains the flagship GKN (curriculum K) on a synthetic BBA-scale trajectory
+and reports free-rollout quality vs ground truth: per-step coordinate MSE
+and contact-map RMSE / accuracy over a horizon. Run on TPU:
+
+    python tools/accuracy_eval.py [--steps 3000] [--horizon 100]
+
+(The reference model itself is not runnable here — no torch_geometric —
+so fidelity is measured against the trajectory's true contact maps, the
+quantity the reference's own movies/metrics track,
+bba_analysis.ipynb cells 19-27.)
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from molecular_dynamics_neural_operator_tpu.configs import ModelConfig, TrainConfig
+from molecular_dynamics_neural_operator_tpu.data import (
+    WindowDataset, batch_iterator, synthetic_trajectory)
+from molecular_dynamics_neural_operator_tpu.geometry import contact_map
+from molecular_dynamics_neural_operator_tpu.train import (
+    create_train_state, train_valid_split)
+from molecular_dynamics_neural_operator_tpu.train.curriculum import (
+    make_curriculum_train_step)
+from molecular_dynamics_neural_operator_tpu.rollout import rollout_with_mse
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("--horizon", type=int, default=100)
+    p.add_argument("--k", type=int, default=4)
+    p.add_argument("--frames", type=int, default=4000)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--dtype", default="float32")
+    args = p.parse_args()
+
+    traj = synthetic_trajectory(num_frames=args.frames, num_residues=28, seed=11)
+    cfg = ModelConfig(compute_dtype=args.dtype, graph_mode="sparse",
+                      max_edges=512, predict_delta=True)
+    tcfg = TrainConfig(lr=args.lr, weight_decay=1e-6, batch_size=args.batch,
+                       grad_clip_norm=1.0, skip_nonfinite_updates=True)
+    ds = WindowDataset(traj, window_size=cfg.window_size,
+                       graph_mode="sparse", max_edges=512)
+    tr_idx, va_idx = train_valid_split(len(ds), 0.8, "partition")
+    state, tx, _ = create_train_state(jax.random.PRNGKey(0), cfg, tcfg,
+                                      steps_per_epoch=len(tr_idx)//args.batch)
+    step_k1 = make_curriculum_train_step(cfg, tx, rollout_steps=1)
+    step_k = make_curriculum_train_step(cfg, tx, rollout_steps=args.k)
+    warmup = max(200, args.steps // 4)
+
+    t0 = time.time()
+    seen = 0
+    epoch = 0
+    losses = []
+    while seen < args.steps:
+        k_now = 1 if seen < warmup else args.k
+        for batch in batch_iterator(ds, tr_idx, args.batch, seed=0,
+                                    epoch=epoch, rollout_horizon=k_now):
+            step = step_k1 if k_now == 1 else step_k
+            state, m = step(state, batch)
+            seen += 1
+            if seen % 200 == 0:
+                losses.append(float(m["rel_l2"]))
+                print(f"step {seen}: loss {losses[-1]:.4f} "
+                      f"({time.time()-t0:.0f}s)", flush=True)
+            if seen >= args.steps:
+                break
+        epoch += 1
+
+    # --- evaluation: free rollout from the validation region
+    aa = jnp.asarray(traj.aminoacids)
+    start = int(va_idx[0])
+    w0 = jnp.asarray(traj.positions[start : start + cfg.window_size])
+    lo = start + cfg.window_size
+    truth = jnp.asarray(traj.positions[lo : lo + args.horizon])
+    coords, mses, _ = jax.jit(
+        lambda p, a, w, t: rollout_with_mse(p, cfg, a, w, t)
+    )(state.params, aa, w0, truth)
+    coords = np.asarray(coords); mses = np.asarray(mses)
+
+    cm_pred = np.asarray(contact_map(jnp.asarray(coords), 8.0))
+    cm_true = np.asarray(contact_map(truth, 8.0))
+    cm_rmse = np.sqrt(np.mean((cm_pred - cm_true) ** 2, axis=(1, 2)))
+    cm_acc = np.mean(cm_pred == cm_true, axis=(1, 2))
+
+    out = {
+        "train_steps": seen,
+        "train_seconds": time.time() - t0,
+        "final_train_loss": losses[-1] if losses else None,
+        "rollout_finite_steps": int(np.isfinite(coords).all(axis=(1,2)).sum()),
+        "coord_mse": {"step1": float(mses[0]),
+                      "step10": float(mses[min(9, len(mses)-1)]),
+                      "step100": float(mses[min(99, len(mses)-1)])},
+        "contact_map_rmse": {"step1": float(cm_rmse[0]),
+                             "step10": float(cm_rmse[min(9, len(cm_rmse)-1)]),
+                             "step100": float(cm_rmse[min(99, len(cm_rmse)-1)]),
+                             "mean": float(cm_rmse.mean())},
+        "contact_map_accuracy_mean": float(cm_acc.mean()),
+    }
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
