@@ -37,7 +37,6 @@ Falls back to interpret mode off-TPU (tests run it on CPU).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -70,13 +69,6 @@ def _rep_red_np(width: int):
     idx = np.arange(width * width)
     red[idx, idx % width] = 1.0
     return rep, red
-
-
-def _rep_red(width: int, dtype):
-    """Constant repeat/reduce matrices for the per-edge matvec:
-    REP[wi, wi*w + v] = 1 and RED[wi*w + v, v] = 1."""
-    rep, red = _rep_red_np(width)
-    return jnp.asarray(rep, dtype), jnp.asarray(red, dtype)
 
 
 def _kernel(
