@@ -53,10 +53,10 @@ def main():
         """Seconds for one fully-materialized num_steps rollout call."""
         roll = make_rollout_fn(cfg, num_steps=num_steps, collect="coords",
                                clip=100.0)
-        coords, _ = roll(params, aa, window0)
+        coords, *_ = roll(params, aa, window0)
         float(jnp.sum(coords))  # warm-up: compile + full completion
         t0 = time.perf_counter()
-        coords, _ = roll(params, aa, window0)
+        coords, *_ = roll(params, aa, window0)
         float(jnp.sum(coords))  # value dependency forces completion
         return time.perf_counter() - t0
 

@@ -92,14 +92,17 @@ def main(argv=None):
         truth = jnp.asarray(traj.positions[truth_lo : truth_lo + args.num_steps])
         coords, mses, _ = jax.jit(
             lambda p, a, w, t: rollout_with_mse(
-                p, cfg, a, w, t, args.threshold
+                p, cfg, a, w, t, args.threshold, clip=args.clip
             )
         )(params, aa, window0, truth)
         np.save(out_dir / "per_step_mse.npy", np.asarray(mses))
     else:
         roll = make_rollout_fn(cfg, args.num_steps, args.threshold,
                                clip=args.clip)
-        coords, _ = roll(params, aa, window0)
+        coords, _, diags = roll(params, aa, window0)
+        if bool(diags["edge_overflow"]):
+            print("WARNING: graph rebuild exceeded max_edges during the "
+                  "rollout; edges were truncated (raise --max_edges)")
     coords = np.asarray(jax.block_until_ready(coords))
     dt = time.time() - t0
     np.save(out_dir / "forecast_coords.npy", coords)

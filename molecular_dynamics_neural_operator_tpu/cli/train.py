@@ -46,6 +46,13 @@ def parse_args(argv=None):
     p.add_argument("--node_features_path", type=Path, default=None)
     p.add_argument("--rollout_steps", type=int, default=0,
                    help="K>0 enables the K-step rollout curriculum loss")
+    p.add_argument("--grad_clip_norm", type=float, default=None,
+                   help="global-norm gradient clipping (default: 1.0 when "
+                        "the curriculum is on, else off)")
+    p.add_argument("--skip_nonfinite", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="reject NaN/inf update steps (default: on when the "
+                        "curriculum is on)")
     p.add_argument("--operator", choices=["gkn", "fno"], default="gkn",
                    help="operator family: graph kernel network (reference "
                         "parity) or FNO on distance matrices")
@@ -102,8 +109,17 @@ def build_configs(args):
         horizon=args.horizon,
         split_pct=args.split_pct,
     )
+    # Curriculum defaults to the known-stable recipe (grad clipping +
+    # non-finite-update rejection); explicit flags override.
+    curriculum = args.rollout_steps > 0
+    clip = args.grad_clip_norm if args.grad_clip_norm is not None else (
+        1.0 if curriculum else 0.0)
+    skip_nf = args.skip_nonfinite if args.skip_nonfinite is not None else (
+        curriculum)
     train = TrainConfig(
         rollout_steps=args.rollout_steps,
+        grad_clip_norm=clip,
+        skip_nonfinite_updates=skip_nf,
         seed=args.seed,
         epochs=args.epochs,
         batch_size=args.batch_size,
@@ -164,7 +180,7 @@ def _main_fno(args, data_cfg, train_cfg):
         num_residues=traj.num_residues,
     )
     ds = WindowDataset(traj, window_size=args.window_size,
-                       horizon=data_cfg.horizon, graph_mode="dense")
+                       horizon=data_cfg.horizon, graph_mode="none")
     tr_idx, va_idx = train_valid_split(len(ds), data_cfg.split_pct,
                                        data_cfg.split_method)
     steps_per_epoch = max(1, len(tr_idx) // train_cfg.batch_size)
@@ -317,7 +333,15 @@ def main(argv=None):
             threshold=data_cfg.threshold,
         )
         print(f"Curriculum training: K={train_cfg.rollout_steps} rollout "
-              "steps in the loss")
+              f"steps in the loss (grad_clip={train_cfg.grad_clip_norm}, "
+              f"skip_nonfinite={train_cfg.skip_nonfinite_updates})")
+        if args.compute_dtype == "bfloat16":
+            print("WARNING: bf16 curriculum training can destabilize; "
+                  "--compute_dtype float32 is the validated recipe "
+                  "(tools/accuracy_eval.py)")
+        if args.data_parallel:
+            print("WARNING: --data_parallel is not yet supported together "
+                  "with the curriculum step; training single-device")
     elif args.data_parallel and len(jax.devices()) > 1:
         mesh = make_mesh()
         train_step, put = make_sharded_train_step(model_cfg, tx, mesh)

@@ -40,7 +40,7 @@ class WindowDataset:
         window_size: int = 10,
         horizon: int = 1,
         threshold: float = 8.0,
-        graph_mode: str = "dense",
+        graph_mode: str = "dense",  # "dense" | "sparse" | "none"
         max_edges: int = 384,
         use_stored_contact_maps: bool = True,
         use_native: bool = True,
@@ -183,10 +183,13 @@ class WindowDataset:
             out["y_seq"] = self.traj.positions[gather].astype(np.float32)
         if self.graph_mode == "dense":
             out["adj"] = self._dense_adj(idx)
-        else:
+        elif self.graph_mode == "sparse":
             edges, mask = self._sparse_edges(idx)
             out["edges"] = edges
             out["mask"] = mask
+        # graph_mode == "none": window/target only (e.g. the FNO path,
+        # which featurizes distance matrices on device and never reads a
+        # graph) — skips the host adjacency packing and transfer entirely.
         return out
 
 

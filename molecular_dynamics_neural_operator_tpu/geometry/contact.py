@@ -121,7 +121,8 @@ def dense_to_padded_edges(adj, max_edges: int):
     return edges, mask
 
 
-def padded_edges_device(adj: Array, max_edges: int):
+def padded_edges_device(adj: Array, max_edges: int,
+                        return_count: bool = False):
     """Jit-safe padded edge extraction from a dense adjacency.
 
     TPU-friendly stream compaction with no sort and no scatter: rank each
@@ -130,6 +131,10 @@ def padded_edges_device(adj: Array, max_edges: int):
     single matmul. ~4x faster on TPU than ``jnp.nonzero(size=...)`` (which
     lowers to a sort) and identical output: row-major edge order, padded
     slots at src=dst=0 with mask 0.
+
+    NOTE: under jit, edges beyond ``max_edges`` are silently dropped (static
+    shapes cannot raise); pass ``return_count=True`` to get the true edge
+    count so callers can surface overflow (rollout_scan's diagnostics do).
     """
     r = adj.shape[-1]
     flat = (adj.reshape(-1) > 0).astype(jnp.float32)  # (R*R,)
@@ -146,6 +151,8 @@ def padded_edges_device(adj: Array, max_edges: int):
     idx = pair_idx.astype(jnp.int32)
     src = (idx // r) * mask.astype(jnp.int32)
     dst = (idx % r) * mask.astype(jnp.int32)
+    if return_count:
+        return jnp.stack([src, dst]), mask, count
     return jnp.stack([src, dst]), mask
 
 

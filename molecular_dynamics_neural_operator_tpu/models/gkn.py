@@ -192,8 +192,9 @@ def gkn_apply_single(
                 kernel2_params, graph.edge_feats, w, compute_dtype=cd
             ).astype(cd)
         num_nodes = aa.shape[0]
-        inv_deg = sparse_inv_degree(graph.edges, graph.mask, num_nodes)
         scatter = "onehot" if num_nodes <= 512 else "segment"
+        inv_deg = sparse_inv_degree(graph.edges, graph.mask, num_nodes,
+                                    scatter)
         for _ in range(cfg.depth):
             x = jax.nn.relu(
                 edge_conv_sparse(

@@ -37,19 +37,25 @@ from molecular_dynamics_neural_operator_tpu.models import (
 
 
 def _build_graph(cfg: ModelConfig, frame, threshold: float):
+    """Returns (graph, overflow): overflow is True when the frame's true
+    edge count exceeds max_edges, i.e. the padded extraction silently
+    truncated (static shapes cannot raise under jit)."""
     adj = contact_map(frame, threshold)
     if cfg.graph_mode == "dense":
-        return DenseGraph(adj=adj, edge_feats=dense_edge_features(frame))
-    edges, mask = padded_edges_device(adj, cfg.max_edges)
-    return SparseGraph(
+        return DenseGraph(adj=adj, edge_feats=dense_edge_features(frame)), \
+            jnp.zeros((), jnp.bool_)
+    edges, mask, count = padded_edges_device(adj, cfg.max_edges,
+                                             return_count=True)
+    graph = SparseGraph(
         edges=edges, mask=mask, edge_feats=edge_features_from_edges(frame, edges)
     )
+    return graph, count > cfg.max_edges
 
 
 def _step(params, cfg: ModelConfig, aa, window, threshold: float,
           graph_frame: str, clip: float | None = None):
     frame = window[-1] if graph_frame == "last" else window[0]
-    graph = _build_graph(cfg, frame, threshold)
+    graph, overflow = _build_graph(cfg, frame, threshold)
     out = gkn_apply_single(params, cfg, aa, window, graph)  # (R, 3)
     if clip is not None:
         # Safety rail on the feedback loop: bounds the coordinates fed back
@@ -57,7 +63,7 @@ def _step(params, cfg: ModelConfig, aa, window, threshold: float,
         # rollout to inf/NaN. No-op for on-distribution predictions.
         out = jnp.clip(out, -clip, clip)
     new_window = jnp.concatenate([window[1:], out[None]], axis=0)
-    return new_window, out, graph
+    return new_window, out, overflow
 
 
 def rollout_scan(
@@ -78,9 +84,10 @@ def rollout_scan(
     "both" -> tuple of the two. Returns (collected, final_window).
     """
 
-    def body(window, _):
-        new_window, out, _ = _step(params, cfg, aa, window, threshold,
-                                   graph_frame, clip)
+    def body(carry, _):
+        window, overflowed = carry
+        new_window, out, overflow = _step(params, cfg, aa, window, threshold,
+                                          graph_frame, clip)
         if collect == "coords":
             y = out
         elif collect == "contact_maps":
@@ -89,12 +96,12 @@ def rollout_scan(
             y = (out, contact_map(out, threshold))
         else:
             raise ValueError(f"unknown collect mode: {collect}")
-        return new_window, y
+        return (new_window, overflowed | overflow), y
 
-    final_window, collected = jax.lax.scan(
-        body, window0, None, length=num_steps
+    (final_window, overflowed), collected = jax.lax.scan(
+        body, (window0, jnp.zeros((), jnp.bool_)), None, length=num_steps
     )
-    return collected, final_window
+    return collected, final_window, {"edge_overflow": overflowed}
 
 
 def make_rollout_fn(
@@ -131,12 +138,14 @@ def rollout_with_mse(
     truth,
     threshold: float = 8.0,
     graph_frame: str = "last",
+    clip: float | None = None,
 ):
     """Rollout tracking per-step coordinate MSE against ground truth
     (``bba_analysis.ipynb`` cell 19 parity). truth: (num_steps, R, 3)."""
 
     def body(window, y_true):
-        new_window, out, _ = _step(params, cfg, aa, window, threshold, graph_frame)
+        new_window, out, _ = _step(params, cfg, aa, window, threshold,
+                                   graph_frame, clip)
         step_mse = jnp.mean((out - y_true) ** 2)
         return new_window, (out, step_mse)
 
@@ -161,7 +170,8 @@ def rollout_python_loop(
 
     @jax.jit
     def step(params, aa, window):
-        new_window, out, _ = _step(params, cfg, aa, window, threshold, graph_frame)
+        new_window, out, _ = _step(params, cfg, aa, window, threshold,
+                                   graph_frame)
         return new_window, out
 
     outs = []

@@ -124,7 +124,12 @@ def train_epoch(state, train_step, dataset, indices, batch_size, *,
 
 
 def eval_epoch(params, eval_step, dataset, indices, batch_size, *,
-               drop_last=True, put: Optional[Callable] = None):
+               drop_last=False, put: Optional[Callable] = None):
+    """Evaluation keeps the remainder batch by default (unlike training,
+    which drops it for static shapes like the reference's loaders) — with
+    drop_last a validation set smaller than the batch size would silently
+    evaluate nothing. An empty evaluation returns NaN, not 0.0, so a
+    meaningless loss can never become the "best" checkpoint."""
     from molecular_dynamics_neural_operator_tpu.data import batch_iterator
 
     total = {"rel_l2": 0.0, "mse": 0.0}
@@ -138,6 +143,6 @@ def eval_epoch(params, eval_step, dataset, indices, batch_size, *,
         total["rel_l2"] += float(metrics["rel_l2"])
         total["mse"] += float(metrics["mse"])
         n += 1
-    if n:
-        total = {k: v / n for k, v in total.items()}
-    return total
+    if n == 0:
+        return {k: float("nan") for k in total}
+    return {k: v / n for k, v in total.items()}

@@ -100,7 +100,7 @@ def make_propagation_movie(
         window0 = jnp.asarray(
             dataset.traj.positions[start : start + cfg.window_size]
         )
-        cms, _ = roll(params, aa, window0)
+        cms, *_ = roll(params, aa, window0)
         cms = np.asarray(cms)
         for i in range(num_steps):
             forecast.append(cms[i])

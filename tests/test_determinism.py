@@ -30,7 +30,7 @@ def _run_once():
     step = make_train_step(cfg, tx, donate=False)
     state, metrics = train_epoch(state, step, ds, tr, 8, seed=tcfg.seed,
                                  epoch=0)
-    coords, _ = rollout_scan(state.params, cfg,
+    coords, *_ = rollout_scan(state.params, cfg,
                              np.asarray(traj.aminoacids),
                              traj.positions[:4], 5)
     return metrics, np.asarray(coords), state

@@ -56,8 +56,8 @@ def test_pallas_in_rollout_scan(setup):
     cfg_p = dataclasses.replace(cfg, conv_impl="pallas",
                                 predict_delta=True)
     cfg_x = dataclasses.replace(cfg, predict_delta=True)
-    coords_p, _ = rollout_scan(params, cfg_p, aa, window, 4)
-    coords_x, _ = rollout_scan(params, cfg_x, aa, window, 4)
+    coords_p, *_ = rollout_scan(params, cfg_p, aa, window, 4)
+    coords_x, *_ = rollout_scan(params, cfg_x, aa, window, 4)
     np.testing.assert_allclose(np.asarray(coords_p), np.asarray(coords_x),
                                rtol=1e-4, atol=1e-5)
 

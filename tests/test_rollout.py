@@ -34,7 +34,7 @@ def setup():
 
 def test_scan_matches_python_loop(setup):
     cfg, params, traj, aa, w0 = setup
-    coords, final = rollout_scan(params, cfg, aa, w0, num_steps=6)
+    coords, final, _ = rollout_scan(params, cfg, aa, w0, num_steps=6)
     coords_loop, final_loop = rollout_python_loop(params, cfg, aa, w0, 6)
     np.testing.assert_allclose(np.asarray(coords), coords_loop,
                                rtol=1e-5, atol=1e-6)
@@ -44,7 +44,7 @@ def test_scan_matches_python_loop(setup):
 
 def test_window_slide_semantics(setup):
     cfg, params, traj, aa, w0 = setup
-    coords, final = rollout_scan(params, cfg, aa, w0, num_steps=6)
+    coords, final, _ = rollout_scan(params, cfg, aa, w0, num_steps=6)
     # final window = last window_size predictions (all original frames
     # dropped after >= window_size steps), graph_kernel.py:407-409
     np.testing.assert_allclose(np.asarray(final),
@@ -54,9 +54,9 @@ def test_window_slide_semantics(setup):
 
 def test_collect_modes_consistent(setup):
     cfg, params, traj, aa, w0 = setup
-    coords, _ = rollout_scan(params, cfg, aa, w0, 4, collect="coords")
-    cms, _ = rollout_scan(params, cfg, aa, w0, 4, collect="contact_maps")
-    (c2, m2), _ = rollout_scan(params, cfg, aa, w0, 4, collect="both")
+    coords, *_ = rollout_scan(params, cfg, aa, w0, 4, collect="coords")
+    cms, *_ = rollout_scan(params, cfg, aa, w0, 4, collect="contact_maps")
+    (c2, m2), *_ = rollout_scan(params, cfg, aa, w0, 4, collect="both")
     np.testing.assert_allclose(np.asarray(coords), np.asarray(c2))
     np.testing.assert_allclose(np.asarray(cms), np.asarray(m2))
     for i in range(4):
@@ -70,7 +70,7 @@ def test_clip_rail_bounds_feedback(setup):
     # absolute-coordinate model from random init diverges; clip keeps finite
     cfg_abs = dataclasses.replace(cfg, predict_delta=False, depth=3)
     params_abs = gkn_init(jax.random.PRNGKey(1), cfg_abs)
-    coords, _ = rollout_scan(params_abs, cfg_abs, aa, w0, 12, clip=50.0)
+    coords, *_ = rollout_scan(params_abs, cfg_abs, aa, w0, 12, clip=50.0)
     arr = np.asarray(coords)
     assert np.isfinite(arr).all()
     assert np.abs(arr).max() <= 50.0
@@ -78,7 +78,7 @@ def test_clip_rail_bounds_feedback(setup):
 
 def test_predict_delta_stays_stable(setup):
     cfg, params, traj, aa, w0 = setup
-    coords, _ = rollout_scan(params, cfg, aa, w0, 50)
+    coords, *_ = rollout_scan(params, cfg, aa, w0, 50)
     arr = np.asarray(coords)
     assert np.isfinite(arr).all()
     # residual model stays in the data's coordinate range
@@ -88,8 +88,8 @@ def test_predict_delta_stays_stable(setup):
 def test_dense_and_sparse_rollout_agree(setup):
     cfg, params, traj, aa, w0 = setup
     cfg_sp = dataclasses.replace(cfg, graph_mode="sparse")
-    coords_d, _ = rollout_scan(params, cfg, aa, w0, 5)
-    coords_s, _ = rollout_scan(params, cfg_sp, aa, w0, 5)
+    coords_d, *_ = rollout_scan(params, cfg, aa, w0, 5)
+    coords_s, *_ = rollout_scan(params, cfg_sp, aa, w0, 5)
     np.testing.assert_allclose(np.asarray(coords_d), np.asarray(coords_s),
                                rtol=1e-4, atol=1e-5)
 
@@ -107,7 +107,20 @@ def test_batched_rollout_matches_single(setup):
     cfg, params, traj, aa, w0 = setup
     w0b = jnp.stack([w0, w0 + 0.1])
     roll = make_rollout_fn(cfg, num_steps=3, batched=True)
-    coords_b, _ = roll(params, aa, w0b)
-    single, _ = rollout_scan(params, cfg, aa, w0, 3)
+    coords_b, *_ = roll(params, aa, w0b)
+    single, *_ = rollout_scan(params, cfg, aa, w0, 3)
     np.testing.assert_allclose(np.asarray(coords_b[0]), np.asarray(single),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_edge_overflow_diagnostic(setup):
+    """Device-side extraction cannot raise on overflow (static shapes);
+    rollout diagnostics must flag the truncation instead."""
+    cfg, params, traj, aa, w0 = setup
+    # capacity far below the real edge count -> guaranteed truncation
+    cfg_tiny = dataclasses.replace(cfg, graph_mode="sparse", max_edges=8)
+    _, _, diags = rollout_scan(params, cfg_tiny, aa, w0, 2)
+    assert bool(diags["edge_overflow"])
+    cfg_ok = dataclasses.replace(cfg, graph_mode="sparse", max_edges=128)
+    _, _, diags_ok = rollout_scan(params, cfg_ok, aa, w0, 2)
+    assert not bool(diags_ok["edge_overflow"])
