@@ -37,10 +37,11 @@ def main():
           file=sys.stderr)
 
     # Flagship config: reference hyperparameters (width 64, ker_width 1024,
-    # depth 6), BBA shapes (R=28, window 10), padded sparse graph (E=384 —
-    # 2x headroom over BBA's ~180 observed edges), bf16 matmuls.
+    # depth 6), BBA shapes (R=28, window 10), padded sparse graph (E=256 —
+    # ~25% headroom over BBA-scale contact counts, ~180-210 incl.
+    # self-loops), bf16 matmuls.
     cfg = ModelConfig(compute_dtype="bfloat16", graph_mode="sparse",
-                      max_edges=384)
+                      max_edges=256)
     params = gkn_init(jax.random.PRNGKey(0), cfg)
 
     traj = synthetic_trajectory(

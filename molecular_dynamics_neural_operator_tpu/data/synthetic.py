@@ -27,10 +27,14 @@ def synthetic_trajectory(
     """Random-walk chain with ~3.8 A bonds breathing smoothly over time."""
     rng = np.random.default_rng(seed)
 
-    # Base chain: cumulative random unit steps of bond length 3.8 A.
+    # Base chain: cumulative random unit steps. The 5.5 A effective step
+    # (vs the 3.8 A Ca-Ca bond) compensates for the random walk's
+    # over-compaction relative to a real fold, matching BBA's observed
+    # contact density (~180-210 edges at 8 A incl. self-loops for R=28,
+    # bba_analysis.ipynb cell 32) instead of the ~340 a 3.8 A walk gives.
     steps = rng.normal(size=(num_residues, 3))
     steps /= np.linalg.norm(steps, axis=1, keepdims=True)
-    base = np.cumsum(steps * 3.8, axis=0)
+    base = np.cumsum(steps * 5.5, axis=0)
     base -= base.mean(axis=0)
 
     # Smooth temporal deformation: a few low-frequency modes.

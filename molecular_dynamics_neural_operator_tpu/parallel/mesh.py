@@ -82,9 +82,6 @@ def make_sharded_train_step(
     Returns (step_fn, put_fn): call ``put_fn(host_batch)`` then
     ``step_fn(state, device_batch)``.
     """
-    repl = replicated_sharding(mesh)
-    data = batch_sharding(mesh)
-
     def step(state: TrainState, batch: dict):
         gbatch = featurize_batch(cfg, batch, graph_frame)
         (l2, (m, _)), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
@@ -99,8 +96,6 @@ def make_sharded_train_step(
             rng=state.rng,
         )
         return new_state, {"rel_l2": l2, "mse": m}
-
-    del repl, data  # shardings are carried by the inputs (device_put in put)
 
     # Input shardings propagate from the device_put batch and replicated
     # state; XLA partitions the step and inserts the gradient psum. Donate

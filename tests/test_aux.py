@@ -93,3 +93,38 @@ def test_large_system_segment_mode_forward():
     out = gkn_apply(params, cfg, batch)
     assert out.shape == (1, r, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_presets_importable_and_consistent():
+    from molecular_dynamics_neural_operator_tpu.presets import PRESETS
+
+    assert set(PRESETS) == {"bba", "bba_sparse", "trp_cage", "villin",
+                            "solvated_10k"}
+    for name, cfg in PRESETS.items():
+        assert cfg.num_residues > 0 and cfg.max_edges > 0, name
+    assert PRESETS["solvated_10k"].graph_mode == "sparse"
+
+
+def test_fast_folder_preset_rollout():
+    """BASELINE config 3 shape check: Trp-cage-sized 100-step free rollout
+    through the scan (tiny widths for CPU)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from molecular_dynamics_neural_operator_tpu.data import synthetic_trajectory
+    from molecular_dynamics_neural_operator_tpu.models import gkn_init
+    from molecular_dynamics_neural_operator_tpu.presets import TRP_CAGE
+    from molecular_dynamics_neural_operator_tpu.rollout import rollout_scan
+
+    cfg = dataclasses.replace(TRP_CAGE, width=8, ker_width=16, depth=1,
+                              window_size=4, compute_dtype="float32")
+    traj = synthetic_trajectory(num_frames=8, num_residues=20, seed=3)
+    params = gkn_init(jax.random.PRNGKey(0), cfg)
+    coords, _, diags = rollout_scan(
+        params, cfg, jnp.asarray(traj.aminoacids),
+        jnp.asarray(traj.positions[:4]), 100,
+    )
+    assert coords.shape == (100, 20, 3)
+    assert np.isfinite(np.asarray(coords)).all()
