@@ -44,6 +44,9 @@ def parse_args(argv=None):
     p.add_argument("--horizon", type=int, default=1,
                    help="prediction horizon (dataset.py:91-92)")
     p.add_argument("--node_features_path", type=Path, default=None)
+    p.add_argument("--max_frames", type=int, default=100_000_000,
+                   help="truncate trajectories for shorter training "
+                        "(dataset.py:108 ntrain cap)")
     p.add_argument("--rollout_steps", type=int, default=0,
                    help="K>0 enables the K-step rollout curriculum loss")
     p.add_argument("--grad_clip_norm", type=float, default=None,
@@ -294,6 +297,7 @@ def main(argv=None):
     traj = load_trajectory(
         data_cfg.data_path,
         node_feature_dset_path=data_cfg.node_features_path,
+        max_frames=args.max_frames,
     )
     dataset = WindowDataset(
         traj,

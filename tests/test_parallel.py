@@ -157,3 +157,34 @@ def test_graft_entry_and_dryrun():
     assert np.isfinite(np.asarray(out)).all()
 
     mod.dryrun_multichip(8)
+
+
+def test_config4_multi_trajectory_data_parallel(tmp_path, sparse_cfg):
+    """BASELINE config 4: directory-mode multi-trajectory data, batched
+    windows sharded over the 8-device mesh, full train step."""
+    import dataclasses
+
+    from molecular_dynamics_neural_operator_tpu.data import (
+        WindowDataset,
+        load_trajectory,
+        write_synthetic_h5,
+    )
+
+    # two trajectories of the same protein, directory mode
+    write_synthetic_h5(tmp_path / "t0.h5", num_frames=24, num_residues=12,
+                       seed=1)
+    write_synthetic_h5(tmp_path / "t1.h5", num_frames=16, num_residues=12,
+                       seed=2)
+    traj = load_trajectory(tmp_path)
+    assert traj.num_frames == 40
+
+    cfg = dataclasses.replace(sparse_cfg, graph_mode="dense")
+    tcfg = TrainConfig(lr=1e-3, batch_size=16)
+    ds = WindowDataset(traj, window_size=cfg.window_size)
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    state, tx, _ = create_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    step, put = make_sharded_train_step(cfg, tx, mesh)
+    batch = put(ds.get_batch(np.arange(16)))
+    assert len(batch["window"].sharding.device_set) == 8
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["rel_l2"]))

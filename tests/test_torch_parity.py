@@ -150,3 +150,29 @@ def test_forward_parity_with_reference_architecture():
                          graph)
     )
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_import_reference_checkpoint_file(tmp_path):
+    """Load a reference-style best.pt ({model_state_dict: ...} with the
+    DataParallel 'module.' prefix, graph_kernel.py:633-639) from disk."""
+    from molecular_dynamics_neural_operator_tpu.utils.torch_import import (
+        import_reference_checkpoint,
+    )
+
+    torch.manual_seed(1)
+    model = TorchKernelNN(16, 32, 2, 4, 10)
+    sd = {f"module.{k}": v for k, v in model.state_dict().items()}
+    path = tmp_path / "best.pt"
+    torch.save({"epoch": 3, "model_state_dict": sd}, path)
+
+    cfg = ModelConfig(width=16, ker_width=32, depth=2, window_size=4,
+                      num_residues=10, compute_dtype="float32")
+    params = import_reference_checkpoint(path, cfg)
+    np.testing.assert_allclose(
+        params["fc2"]["w"],
+        model.state_dict()["fc2.weight"].numpy().T,
+    )
+    np.testing.assert_allclose(
+        params["edge_kernel"]["layer_2"]["b"],
+        model.state_dict()["conv1.net.layers.4.bias"].numpy(),
+    )
