@@ -1,0 +1,113 @@
+"""Large-system scale smoke: ~10k-atom sparse forward + rollout step on TPU.
+
+BASELINE config 5 evidence: runs the GKN forward and one on-device
+graph-rebuild rollout step at the SOLVATED_10K preset shape (10,000 nodes,
+160k-edge padded neighbor list, segment aggregation) and reports wall
+times. The edge-kernel width is reduced (--ker_width) to keep the smoke
+affordable; the full-width configuration is the multi-chip edge-sharded
+regime (parallel/edge_sharded.py).
+
+    python tools/scale_smoke.py [--nodes 10000] [--edges 160000]
+"""
+
+import argparse
+import dataclasses
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from molecular_dynamics_neural_operator_tpu.geometry import (
+    contact_map,
+    edge_features_from_edges,
+)
+from molecular_dynamics_neural_operator_tpu.models import (
+    GKNBatch,
+    SparseGraph,
+    gkn_apply,
+    gkn_init,
+)
+from molecular_dynamics_neural_operator_tpu.presets import SOLVATED_10K
+from molecular_dynamics_neural_operator_tpu.rollout import rollout_scan
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--nodes", type=int, default=10_000)
+    p.add_argument("--edges", type=int, default=160_000)
+    p.add_argument("--ker_width", type=int, default=128)
+    p.add_argument("--width", type=int, default=64)
+    p.add_argument("--depth", type=int, default=6)
+    args = p.parse_args()
+
+    cfg = dataclasses.replace(
+        SOLVATED_10K, num_residues=args.nodes, max_edges=args.edges,
+        ker_width=args.ker_width, width=args.width, depth=args.depth,
+        compute_dtype="bfloat16",
+    )
+    r, t = cfg.num_residues, cfg.window_size
+    rng = np.random.default_rng(0)
+    # loose chain: ~16 neighbors/node at 8 A
+    base = np.cumsum(rng.normal(size=(r, 3)) * 2.2, axis=0).astype(np.float32)
+    window = jnp.asarray(
+        np.stack([base + 0.05 * i for i in range(t)])
+    )  # (T, R, 3)
+    aa = jnp.zeros((r,), jnp.int32)
+    params = gkn_init(jax.random.PRNGKey(0), cfg)
+
+    # host-side graph for the teacher-forced forward
+    adj_row_blocks = []
+    # avoid a dense (R, R) matrix on host: neighbor window along the chain
+    # (contact graph of a loose chain is near-banded)
+    src_list, dst_list = [], []
+    halfband = 48
+    pos = base
+    for i in range(r):
+        lo, hi = max(0, i - halfband), min(r, i + halfband)
+        d2 = ((pos[lo:hi] - pos[i]) ** 2).sum(-1)
+        nbr = np.nonzero(d2 < 64.0)[0] + lo
+        src_list.append(np.full(len(nbr), i)); dst_list.append(nbr)
+    src = np.concatenate(src_list); dst = np.concatenate(dst_list)
+    e = len(src)
+    print(f"[smoke] {r} nodes, {e} real edges (capacity {args.edges})")
+    assert e <= args.edges
+    edges = np.zeros((2, args.edges), np.int32)
+    mask = np.zeros((args.edges,), np.float32)
+    edges[0, :e] = src; edges[1, :e] = dst; mask[:e] = 1.0
+    edges, mask = jnp.asarray(edges), jnp.asarray(mask)
+    ef = edge_features_from_edges(window[0], edges)
+
+    batch = GKNBatch(aa, window[None], SparseGraph(edges[None], mask[None],
+                                                   ef[None]),
+                     jnp.zeros((1, r, 3)))
+
+    fwd = jax.jit(lambda p, b: gkn_apply(p, cfg, b))
+    t0 = time.perf_counter()
+    out = fwd(params, batch); float(jnp.sum(out))
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = fwd(params, batch); float(jnp.sum(out))
+    fwd_s = time.perf_counter() - t0
+
+    # one full rollout step incl. on-device 10k-node graph rebuild
+    roll = jax.jit(lambda p, a, w: rollout_scan(p, cfg, a, w, 2, clip=500.0))
+    c, _, diags = roll(params, aa, window); float(jnp.sum(c))
+    t0 = time.perf_counter()
+    c, _, diags = roll(params, aa, window); float(jnp.sum(c))
+    roll2_s = time.perf_counter() - t0
+
+    print(json.dumps({
+        "nodes": r, "edge_capacity": args.edges, "real_edges": int(e),
+        "ker_width": args.ker_width,
+        "compile_s": round(compile_s, 1),
+        "forward_s": round(fwd_s, 3),
+        "rollout_2steps_s": round(roll2_s, 3),
+        "edge_overflow": bool(diags["edge_overflow"]),
+        "finite": bool(jnp.isfinite(c).all()),
+    }))
+
+
+if __name__ == "__main__":
+    main()
