@@ -52,6 +52,15 @@ class ModelConfig:
     # (graph_kernel.py:305 predicts absolute positions); on, it keeps free
     # rollout numerically stable far longer.
     predict_delta: bool = False
+    # On-device neighbor rebuild during rollout (sparse mode):
+    # "dense_rank" ranks the full (R, R) adjacency — exact, best to ~1k
+    # nodes; "cell_list" is the O(N) spatial-hash path for large systems
+    # (geometry/cells.py). max_edges must equal num_residues * max_degree
+    # for the cell-list layout.
+    neighbor_impl: str = "dense_rank"
+    max_degree: int = 32
+    cell_capacity: int = 16
+    num_cells: int = 4096
 
 
 @dataclass(frozen=True)

@@ -37,13 +37,26 @@ from molecular_dynamics_neural_operator_tpu.models import (
 
 
 def _build_graph(cfg: ModelConfig, frame, threshold: float):
-    """Returns (graph, overflow): overflow is True when the frame's true
-    edge count exceeds max_edges, i.e. the padded extraction silently
-    truncated (static shapes cannot raise under jit)."""
-    adj = contact_map(frame, threshold)
+    """Returns (graph, overflow): overflow is True when the rebuild lost
+    edges to a static capacity (max_edges for dense_rank; cell capacity or
+    max_degree for cell_list) — static shapes cannot raise under jit."""
     if cfg.graph_mode == "dense":
+        adj = contact_map(frame, threshold)
         return DenseGraph(adj=adj, edge_feats=dense_edge_features(frame)), \
             jnp.zeros((), jnp.bool_)
+    if cfg.neighbor_impl == "cell_list":
+        from molecular_dynamics_neural_operator_tpu.geometry.cells import (
+            cell_list_edges,
+        )
+
+        out = cell_list_edges(frame, threshold, cfg.max_degree,
+                              cfg.cell_capacity, cfg.num_cells)
+        graph = SparseGraph(
+            edges=out.edges, mask=out.mask,
+            edge_feats=edge_features_from_edges(frame, out.edges),
+        )
+        return graph, out.cell_overflow | out.degree_overflow
+    adj = contact_map(frame, threshold)
     edges, mask, count = padded_edges_device(adj, cfg.max_edges,
                                              return_count=True)
     graph = SparseGraph(

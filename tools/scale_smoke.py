@@ -30,6 +30,7 @@ from molecular_dynamics_neural_operator_tpu.models import (
     gkn_init,
 )
 from molecular_dynamics_neural_operator_tpu.presets import SOLVATED_10K
+from molecular_dynamics_neural_operator_tpu.rollout import rollout_scan
 
 
 def main():
@@ -92,18 +93,31 @@ def main():
     out = fwd(params, batch); float(jnp.sum(out))
     fwd_s = time.perf_counter() - t0
 
-    # NOTE: free rollout at this scale needs an O(N) cell-list neighbor
-    # rebuild — the current on-device extraction ranks a dense (R, R)
-    # adjacency, fine for proteins (R <= ~1k) but quadratic here.
-    # Scheduled for a later round; training/inference on precomputed
-    # neighbor lists (this smoke) is supported today.
+    # Free rollout with the O(N) cell-list neighbor rebuild
+    # (geometry/cells.py): graph rebuilt from predicted coordinates on
+    # device each step at 10k-atom scale.
+    max_deg = 40
+    cfg_roll = dataclasses.replace(
+        cfg, neighbor_impl="cell_list", max_degree=max_deg,
+        max_edges=r * max_deg, cell_capacity=32, num_cells=16384,
+    )
+    roll = jax.jit(
+        lambda p, a, w: rollout_scan(p, cfg_roll, a, w, 2, clip=1000.0)
+    )
+    c, _, diags = roll(params, aa, window); float(jnp.sum(c))
+    t0 = time.perf_counter()
+    c, _, diags = roll(params, aa, window); float(jnp.sum(c))
+    roll2_s = time.perf_counter() - t0
 
     print(json.dumps({
         "nodes": r, "edge_capacity": cap, "real_edges": int(e),
         "ker_width": args.ker_width,
         "compile_s": round(compile_s, 1),
         "forward_s": round(fwd_s, 3),
+        "rollout_2steps_s": round(roll2_s, 3),
+        "rollout_edge_overflow": bool(diags["edge_overflow"]),
         "finite": bool(jnp.isfinite(out).all()),
+        "rollout_finite": bool(jnp.isfinite(c).all()),
     }))
 
 
