@@ -25,7 +25,7 @@ traffic. A batch is a dict of numpy arrays ready for ``device_put``:
 
 from __future__ import annotations
 
-from typing import Iterator, Optional, Sequence
+from typing import Iterator, Sequence
 
 import numpy as np
 

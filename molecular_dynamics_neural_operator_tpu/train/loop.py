@@ -14,11 +14,9 @@ and the device builds the graph (geometry/contact.py).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax
-import jax.numpy as jnp
 
 from molecular_dynamics_neural_operator_tpu.configs import ModelConfig
 from molecular_dynamics_neural_operator_tpu.geometry import (

@@ -27,7 +27,6 @@ def collect_latents(params, cfg, dataset, start_frame: int, num_frames: int,
     the reference's ``latent.flatten()`` layout (graph_kernel.py:599).
     """
     import jax
-    import jax.numpy as jnp
 
     from molecular_dynamics_neural_operator_tpu.models import gkn_apply
     from molecular_dynamics_neural_operator_tpu.train.loop import featurize_batch
