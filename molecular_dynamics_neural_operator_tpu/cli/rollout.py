@@ -29,6 +29,15 @@ def parse_args(argv=None):
     p.add_argument("--depth", type=int, default=6)
     p.add_argument("--num_residues", type=int, default=28)
     p.add_argument("--graph_mode", choices=["dense", "sparse"], default="dense")
+    p.add_argument("--max_edges", type=int, default=384,
+                   help="padded edge capacity for sparse-mode rebuilds")
+    p.add_argument("--neighbor_impl", choices=["dense_rank", "cell_list"],
+                   default="dense_rank",
+                   help="sparse-mode rebuild: exact dense ranking (<=~1k "
+                        "nodes) or the O(N) cell list for large systems")
+    p.add_argument("--max_degree", type=int, default=32)
+    p.add_argument("--cell_capacity", type=int, default=16)
+    p.add_argument("--num_cells", type=int, default=4096)
     p.add_argument("--compute_dtype", choices=["float32", "bfloat16"],
                    default="bfloat16")
     p.add_argument("--predict_delta", action="store_true")
@@ -44,18 +53,16 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from molecular_dynamics_neural_operator_tpu.configs import (
-        ModelConfig,
-        TrainConfig,
-    )
+    from molecular_dynamics_neural_operator_tpu.configs import ModelConfig
     from molecular_dynamics_neural_operator_tpu.data import load_trajectory
     from molecular_dynamics_neural_operator_tpu.models import gkn_init
     from molecular_dynamics_neural_operator_tpu.rollout import (
         make_rollout_fn,
         rollout_with_mse,
     )
-    from molecular_dynamics_neural_operator_tpu.train import create_train_state
-    from molecular_dynamics_neural_operator_tpu.utils import restore_checkpoint
+    from molecular_dynamics_neural_operator_tpu.utils.checkpoint import (
+        restore_subtree,
+    )
 
     cfg = ModelConfig(
         width=args.width,
@@ -64,15 +71,23 @@ def main(argv=None):
         window_size=args.window_size,
         num_residues=args.num_residues,
         graph_mode=args.graph_mode,
+        max_edges=args.max_edges,
+        neighbor_impl=args.neighbor_impl,
+        max_degree=args.max_degree,
+        cell_capacity=args.cell_capacity,
+        num_cells=args.num_cells,
         compute_dtype=args.compute_dtype,
         predict_delta=args.predict_delta,
     )
     traj = load_trajectory(args.data_path)
 
     if args.checkpoint is not None:
-        state, tx, _ = create_train_state(jax.random.PRNGKey(0), cfg, TrainConfig())
-        state, meta = restore_checkpoint(args.checkpoint, state)
-        params = state.params
+        # Restore ONLY the params subtree: rollout never needs the optimizer
+        # state, and a full-TrainState restore would require rebuilding the
+        # exact optax chain the run trained with (grad clipping /
+        # apply_if_finite change the opt_state treedef).
+        template = gkn_init(jax.random.PRNGKey(0), cfg)
+        params, meta = restore_subtree(args.checkpoint, template, ".params")
         print(f"Loaded checkpoint (epoch {meta.get('epoch', '?')})")
     else:
         params = gkn_init(jax.random.PRNGKey(0), cfg)

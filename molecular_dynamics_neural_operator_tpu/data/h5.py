@@ -144,7 +144,9 @@ def load_trajectory(
 
     positions = np.concatenate(position_chunks, axis=0).astype(np.float32)
     # On-disk layout is (N, 3, R); reorder to (N, R, 3) (dataset.py:159).
-    positions = np.transpose(positions, (0, 2, 1))
+    # Materialize contiguously ONCE: a transpose view would make the native
+    # batch packer's ascontiguousarray copy the whole trajectory per batch.
+    positions = np.ascontiguousarray(np.transpose(positions, (0, 2, 1)))
 
     edge_indices = [np.asarray(e).reshape(2, -1).astype(np.int32) for e in edge_lists]
     rmsd = np.concatenate(rmsd_chunks) if rmsd_chunks else None

@@ -158,6 +158,11 @@ class WindowDataset:
                 mask[i, :n] = 1.0
         return edges, mask
 
+    def dense_adj(self, frame_idx: int) -> np.ndarray:
+        """Public single-frame dense adjacency (R, R) — e.g. the "real"
+        contact map for movie rendering."""
+        return self._dense_adj(np.asarray([frame_idx], np.int64))[0]
+
     def get_batch(self, idx: Sequence[int],
                   rollout_horizon: int = 0) -> dict:
         """Assemble a batch. With ``rollout_horizon=K > 0`` also attaches

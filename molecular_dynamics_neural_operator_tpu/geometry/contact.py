@@ -143,14 +143,18 @@ def padded_edges_device(adj: Array, max_edges: int,
     slots = jnp.arange(1, max_edges + 1, dtype=jnp.float32)  # (E,)
     # assign[e, p] = 1 iff pair p is the e-th set bit
     assign = (rank[None, :] == slots[:, None]) & (flat[None, :] > 0)
-    pair_idx = jnp.dot(
-        assign.astype(jnp.float32), jnp.arange(r * r, dtype=jnp.float32),
-        preferred_element_type=jnp.float32,
-    )
+    # Recover (src, dst) with two matvecs whose values stay <= R - 1, so the
+    # f32 accumulation is exact for any R <= 2^24 — a single matvec against
+    # arange(R*R) would lose integer precision past R ~ 4096.
+    pair = jnp.arange(r * r, dtype=jnp.int32)
+    rows = (pair // r).astype(jnp.float32)
+    cols = (pair % r).astype(jnp.float32)
+    af = assign.astype(jnp.float32)
+    src_f = jnp.dot(af, rows, preferred_element_type=jnp.float32)
+    dst_f = jnp.dot(af, cols, preferred_element_type=jnp.float32)
     mask = (slots <= count).astype(jnp.float32)
-    idx = pair_idx.astype(jnp.int32)
-    src = (idx // r) * mask.astype(jnp.int32)
-    dst = (idx % r) * mask.astype(jnp.int32)
+    src = src_f.astype(jnp.int32) * mask.astype(jnp.int32)
+    dst = dst_f.astype(jnp.int32) * mask.astype(jnp.int32)
     if return_count:
         return jnp.stack([src, dst]), mask, count
     return jnp.stack([src, dst]), mask

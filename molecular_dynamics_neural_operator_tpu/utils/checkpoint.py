@@ -67,6 +67,38 @@ def restore_checkpoint(path, like) -> Tuple[Any, dict]:
     return tree, side.get("metadata", {})
 
 
+def restore_subtree(path, like, prefix: str) -> Tuple[Any, dict]:
+    """Restore only the leaves stored under ``prefix`` into the template
+    ``like`` (the matching subtree).
+
+    Lets consumers that need just the parameters (e.g. the rollout CLI)
+    load a checkpoint WITHOUT reconstructing the exact optimizer chain the
+    run used — a full-TrainState restore fails with a treedef mismatch when
+    the training recipe (grad clipping, apply_if_finite, ...) differs from
+    the template's (the reference has the same coupling: its ``best.pt``
+    bundles optimizer + scheduler state, ``graph_kernel.py:631-639``, and
+    the notebook loads only ``model_state_dict``, cell 7).
+
+    Example: ``restore_subtree(path, gkn_init(...), ".params")``.
+    """
+    path = Path(path)
+    data = np.load(path if path.suffix == ".npz" else path.with_suffix(".npz"))
+    side = json.loads(path.with_suffix(path.suffix + ".json").read_text())
+    flat_like = jax.tree_util.tree_flatten_with_path(like)
+    leaves = []
+    for p, leaf in flat_like[0]:
+        key = "/".join(str(getattr(x, "key", getattr(x, "idx", x))) for x in p)
+        key = f"{prefix}/{key}" if key else prefix
+        if key not in data:
+            raise KeyError(f"checkpoint missing leaf {key}")
+        arr = data[key]
+        if hasattr(leaf, "dtype") and arr.dtype != leaf.dtype:
+            arr = arr.astype(leaf.dtype)
+        leaves.append(arr)
+    tree = jax.tree_util.tree_unflatten(flat_like[1], leaves)
+    return tree, side.get("metadata", {})
+
+
 class BestCheckpointer:
     """Tracks best validation loss and writes ``best.npz`` on improvement
     (reference behavior) plus optional periodic ``last.npz`` for resume."""

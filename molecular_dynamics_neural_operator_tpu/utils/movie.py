@@ -69,9 +69,17 @@ def render_propagation_movie(
     try:
         import imageio.v2 as imageio
 
-        movie = run_dir / f"epoch{epoch}_gno_movie.gif"
-        imageio.mimsave(movie, [imageio.imread(f) for f in filenames], fps=fps)
-        return movie
+        frames = [imageio.imread(f) for f in filenames]
+        # mp4 first (reference parity: graph_kernel.py:440-443 stitches PNGs
+        # to mp4); needs an ffmpeg backend, so degrade to gif without one.
+        try:
+            movie = run_dir / f"epoch{epoch}_gno_movie.mp4"
+            imageio.mimsave(movie, frames, fps=fps)
+            return movie
+        except Exception:
+            movie = run_dir / f"epoch{epoch}_gno_movie.gif"
+            imageio.mimsave(movie, frames, fps=fps)
+            return movie
     except Exception:
         return run_dir
 
@@ -105,5 +113,5 @@ def make_propagation_movie(
         for i in range(num_steps):
             forecast.append(cms[i])
             truth_idx = min(start + i + 1, len(dataset) - 1)
-            real.append(np.asarray(dataset._dense_adj(np.array([truth_idx]))[0]))
+            real.append(dataset.dense_adj(truth_idx))
     return render_propagation_movie(run_dir, epoch, forecast, real)

@@ -80,6 +80,52 @@ def test_rollout_cli(h5, tmp_path):
     assert summary["num_steps"] == 5
 
 
+def test_rollout_cli_from_curriculum_checkpoint(h5, tmp_path):
+    """Rollout CLI must consume a checkpoint trained with the curriculum
+    recipe (grad clip + apply_if_finite), whose opt_state treedef differs
+    from a default TrainConfig — params-only restore decouples them."""
+    from molecular_dynamics_neural_operator_tpu.cli import rollout as cli_roll
+    from molecular_dynamics_neural_operator_tpu.cli import train as cli_train
+
+    run = tmp_path / "runc2"
+    cli_train.main(_common(h5, run) + [
+        "--width", "8", "--kernel_width", "16", "--depth", "1",
+        "--rollout_steps", "2", "--predict_delta",
+    ])
+    out = tmp_path / "rollc2"
+    summary = cli_roll.main([
+        "--data_path", str(h5), "--out_path", str(out),
+        "--checkpoint", str(run / "best.npz"),
+        "--num_steps", "4", "--window_size", "4",
+        "--width", "8", "--kernel_width", "16", "--depth", "1",
+        "--num_residues", "14", "--compute_dtype", "float32",
+        "--predict_delta",
+    ])
+    assert summary["finite"]
+
+
+def test_rollout_cli_sparse_beyond_default_capacity(tmp_path):
+    """Sparse-mode rollout of a protein with more edges than the old
+    hard-wired 384 capacity, via the --max_edges escape hatch."""
+    from molecular_dynamics_neural_operator_tpu.cli import rollout as cli_roll
+
+    big = tmp_path / "big.h5"
+    traj = write_synthetic_h5(big, num_frames=12, num_residues=80, seed=5)
+    assert max(e.shape[1] for e in traj.edge_indices) > 384
+    out = tmp_path / "rollbig"
+    summary = cli_roll.main([
+        "--data_path", str(big), "--out_path", str(out),
+        "--num_steps", "3", "--window_size", "4",
+        "--width", "8", "--kernel_width", "16", "--depth", "1",
+        "--num_residues", "80", "--compute_dtype", "float32",
+        "--graph_mode", "sparse", "--max_edges", "1024",
+        "--predict_delta",
+    ])
+    coords = np.load(out / "forecast_coords.npy")
+    assert coords.shape == (3, 80, 3)
+    assert summary["finite"]
+
+
 def test_preprocess_cli_dh_mode(h5, tmp_path):
     from molecular_dynamics_neural_operator_tpu.cli import (
         preprocess as cli_pre,

@@ -37,6 +37,32 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_restore_subtree_params_only(tmp_path):
+    """Params-only restore from a checkpoint saved with a DIFFERENT
+    optimizer chain than the template (the rollout-CLI decoupling)."""
+    from molecular_dynamics_neural_operator_tpu.models import gkn_init
+    from molecular_dynamics_neural_operator_tpu.utils.checkpoint import (
+        restore_subtree,
+    )
+
+    cfg = ModelConfig(width=8, ker_width=16, depth=1, window_size=3,
+                      num_residues=6)
+    # Curriculum recipe: clip + apply_if_finite wraps the opt_state treedef.
+    state, _, _ = create_train_state(
+        jax.random.PRNGKey(0), cfg,
+        TrainConfig(grad_clip_norm=1.0, skip_nonfinite_updates=True),
+    )
+    path = tmp_path / "curr.npz"
+    save_checkpoint(path, state, {"epoch": 3})
+
+    template = gkn_init(jax.random.PRNGKey(1), cfg)  # different values
+    params, meta = restore_subtree(path, template, ".params")
+    assert meta["epoch"] == 3
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_best_checkpointer_tracks_improvement(tmp_path):
     state = _state()
     ck = BestCheckpointer(tmp_path)
