@@ -327,15 +327,34 @@ def main(argv=None):
         print(f"Resumed from {args.resume} at epoch {start_epoch}")
 
     put = None
+    data_parallel = args.data_parallel and len(jax.devices()) > 1
+    if data_parallel and train_cfg.batch_size % len(jax.devices()) != 0:
+        raise ValueError(
+            f"--batch_size {train_cfg.batch_size} must be divisible by the "
+            f"device count {len(jax.devices())} for --data_parallel"
+        )
     if train_cfg.rollout_steps > 0:
         from molecular_dynamics_neural_operator_tpu.train.curriculum import (
             make_curriculum_train_step,
         )
 
-        train_step = make_curriculum_train_step(
-            model_cfg, tx, rollout_steps=train_cfg.rollout_steps,
-            threshold=data_cfg.threshold,
-        )
+        if data_parallel:
+            from molecular_dynamics_neural_operator_tpu.parallel import (
+                make_sharded_curriculum_train_step,
+            )
+
+            mesh = make_mesh()
+            train_step, put = make_sharded_curriculum_train_step(
+                model_cfg, tx, mesh, rollout_steps=train_cfg.rollout_steps,
+                threshold=data_cfg.threshold,
+            )
+            print(f"Data-parallel curriculum: batch sharded over "
+                  f"{mesh.shape['data']} devices")
+        else:
+            train_step = make_curriculum_train_step(
+                model_cfg, tx, rollout_steps=train_cfg.rollout_steps,
+                threshold=data_cfg.threshold,
+            )
         print(f"Curriculum training: K={train_cfg.rollout_steps} rollout "
               f"steps in the loss (grad_clip={train_cfg.grad_clip_norm}, "
               f"skip_nonfinite={train_cfg.skip_nonfinite_updates})")
@@ -343,10 +362,7 @@ def main(argv=None):
             print("WARNING: bf16 curriculum training can destabilize; "
                   "--compute_dtype float32 is the validated recipe "
                   "(tools/accuracy_eval.py)")
-        if args.data_parallel:
-            print("WARNING: --data_parallel is not yet supported together "
-                  "with the curriculum step; training single-device")
-    elif args.data_parallel and len(jax.devices()) > 1:
+    elif data_parallel:
         mesh = make_mesh()
         train_step, put = make_sharded_train_step(model_cfg, tx, mesh)
     else:

@@ -4,6 +4,10 @@ from molecular_dynamics_neural_operator_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
     make_sharded_train_step,
+    make_sharded_curriculum_train_step,
+)
+from molecular_dynamics_neural_operator_tpu.parallel.rollout_sharded import (
+    make_sharded_rollout_fn,
 )
 
 __all__ = [
@@ -12,4 +16,6 @@ __all__ = [
     "replicated_sharding",
     "shard_batch",
     "make_sharded_train_step",
+    "make_sharded_curriculum_train_step",
+    "make_sharded_rollout_fn",
 ]

@@ -103,3 +103,45 @@ def make_sharded_train_step(
         return shard_batch(mesh, host_batch)
 
     return step_jit, put
+
+
+def make_sharded_curriculum_train_step(
+    cfg: ModelConfig,
+    tx,
+    mesh: Mesh,
+    rollout_steps: int,
+    threshold: float = 8.0,
+    step_weights=None,
+    graph_frame: str = "first",
+):
+    """Data-parallel K-step rollout-curriculum training step — the flagship
+    recipe (tools/accuracy_eval.py) on many chips.
+
+    The curriculum loss is vmapped per example and summed over the batch
+    (train/curriculum.py), so batch-axis sharding alone parallelizes it:
+    each device unrolls the K-step scan — operator forward + on-device graph
+    rebuild from its OWN predictions — for its local examples, and the
+    batch-sum loss makes the gradient a psum that XLA inserts from the
+    sharding annotations. No hand-written collectives; the K-step rollout
+    scan stays entirely local to each device (zero inter-chip traffic until
+    the gradient all-reduce). Supersedes the reference's DataParallel
+    replication (``/root/reference/graph_kernel.py:528-537``), which never
+    composed with multi-step objectives at all.
+
+    Returns (step_fn, put_fn); host batches must carry ``y_seq`` (B, K, R, 3)
+    (``WindowDataset.get_batch(..., rollout_horizon=K)``) with B divisible
+    by the "data" axis size.
+    """
+    from molecular_dynamics_neural_operator_tpu.train.curriculum import (
+        make_curriculum_train_step,
+    )
+
+    step = make_curriculum_train_step(
+        cfg, tx, rollout_steps=rollout_steps, threshold=threshold,
+        step_weights=step_weights, graph_frame=graph_frame,
+    )
+
+    def put(host_batch: dict) -> dict:
+        return shard_batch(mesh, host_batch)
+
+    return step, put

@@ -125,9 +125,16 @@ def make_rollout_fn(
     collect: str = "coords",
     batched: bool = False,
     clip: float | None = None,
+    stream_chunk: int | None = None,
 ):
     """Jit-compiled rollout; ``batched=True`` vmaps over leading stream axis
-    of window0 for multi-stream throughput."""
+    of window0 for multi-stream throughput.
+
+    ``stream_chunk=C`` (batched mode) processes streams in sequential chunks
+    of C via ``lax.map``: peak live state drops from (S, E, w, w) kernel
+    tensors to (C, E, w, w), which removes the HBM spill cliff past ~32
+    concurrent streams on one chip — total work is identical, only the
+    schedule changes. Requires S % C == 0."""
 
     def fn(params, aa, window0):
         return rollout_scan(
@@ -137,9 +144,25 @@ def make_rollout_fn(
 
     if batched:
         inner = fn
-        fn = lambda params, aa, window0: jax.vmap(
-            lambda w: inner(params, aa, w)
-        )(window0)
+
+        def batched_fn(params, aa, window0):
+            run = jax.vmap(lambda w: inner(params, aa, w))
+            if stream_chunk is None:
+                return run(window0)
+            s = window0.shape[0]
+            if s % stream_chunk:
+                raise ValueError(
+                    f"stream count {s} not divisible by stream_chunk "
+                    f"{stream_chunk}"
+                )
+            chunked = window0.reshape((s // stream_chunk, stream_chunk)
+                                      + window0.shape[1:])
+            out = jax.lax.map(run, chunked)
+            return jax.tree_util.tree_map(
+                lambda x: x.reshape((s,) + x.shape[2:]), out
+            )
+
+        fn = batched_fn
     return jax.jit(fn)
 
 

@@ -80,6 +80,24 @@ def test_rollout_cli(h5, tmp_path):
     assert summary["num_steps"] == 5
 
 
+def test_train_cli_curriculum_data_parallel(h5, tmp_path):
+    """--data_parallel --rollout_steps K: the flagship recipe on the
+    8-device virtual mesh (round-1 gap: it fell back to one device)."""
+    from molecular_dynamics_neural_operator_tpu.cli import train as cli_train
+
+    run = tmp_path / "rundp"
+    cli_train.main([
+        "--data_path", str(h5), "--run_path", str(run),
+        "--epochs", "1", "--batch_size", "8", "--lr", "0.001",
+        "--window_size", "4", "--num_residues", "14",
+        "--compute_dtype", "float32",
+        "--generate_movie", "False", "--plot_latent", "False",
+        "--width", "8", "--kernel_width", "16", "--depth", "1",
+        "--rollout_steps", "2", "--predict_delta", "--data_parallel",
+    ])
+    assert (run / "best.npz").exists()
+
+
 def test_rollout_cli_from_curriculum_checkpoint(h5, tmp_path):
     """Rollout CLI must consume a checkpoint trained with the curriculum
     recipe (grad clip + apply_if_finite), whose opt_state treedef differs

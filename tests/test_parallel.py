@@ -141,6 +141,125 @@ def test_data_parallel_train_step_runs_sharded(sparse_cfg):
     assert int(new_state.step) == 1
 
 
+def test_data_parallel_curriculum_matches_single_device(sparse_cfg):
+    """The flagship recipe — K-step rollout curriculum — sharded over the
+    8-device data axis must produce the same loss and updated params as the
+    single-device step (the gradient psum is exact, not approximate)."""
+    import dataclasses
+
+    from molecular_dynamics_neural_operator_tpu.data import (
+        WindowDataset,
+        synthetic_trajectory,
+    )
+    from molecular_dynamics_neural_operator_tpu.parallel import (
+        make_sharded_curriculum_train_step,
+    )
+    from molecular_dynamics_neural_operator_tpu.train.curriculum import (
+        make_curriculum_train_step,
+    )
+
+    cfg = dataclasses.replace(sparse_cfg, graph_mode="dense",
+                              predict_delta=True)
+    tcfg = TrainConfig(lr=1e-3, batch_size=8, rollout_steps=3,
+                       grad_clip_norm=1.0, skip_nonfinite_updates=True)
+    traj = synthetic_trajectory(num_frames=32, num_residues=cfg.num_residues,
+                                seed=7)
+    ds = WindowDataset(traj, window_size=cfg.window_size)
+    batch = ds.get_batch(np.arange(8), rollout_horizon=3)
+
+    state1, tx1, _ = create_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    step1 = make_curriculum_train_step(cfg, tx1, rollout_steps=3)
+    new1, m1 = step1(state1, batch)
+
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    state2, tx2, _ = create_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    step2, put = make_sharded_curriculum_train_step(cfg, tx2, mesh,
+                                                    rollout_steps=3)
+    dev_batch = put(batch)
+    assert len(dev_batch["y_seq"].sharding.device_set) == 8
+    new2, m2 = step2(state2, dev_batch)
+
+    np.testing.assert_allclose(float(m1["rel_l2"]), float(m2["rel_l2"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(new1.params),
+                    jax.tree_util.tree_leaves(new2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_rollout_matches_single_device(sparse_cfg):
+    """Streams sharded over the 8-device data axis reproduce the
+    single-device batched rollout (rollout is embarrassingly parallel over
+    streams — sharding must not change the math; only float reduction
+    order may differ between batch tilings, hence the tight tolerance)."""
+    import dataclasses
+
+    from molecular_dynamics_neural_operator_tpu.parallel import (
+        make_sharded_rollout_fn,
+    )
+    from molecular_dynamics_neural_operator_tpu.rollout import (
+        make_rollout_fn,
+    )
+
+    cfg = dataclasses.replace(sparse_cfg, predict_delta=True)
+    params = gkn_init(jax.random.PRNGKey(0), cfg)
+    s, t, r = 8, cfg.window_size, cfg.num_residues
+    aa = jnp.arange(r, dtype=jnp.int32) % 20
+    w0 = jax.random.normal(jax.random.PRNGKey(3), (s, t, r, 3)) * 4.0
+
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    roll_sh = make_sharded_rollout_fn(cfg, mesh, num_steps=6)
+    coords_sh, final_sh, diags = roll_sh(params, aa, w0)
+    assert coords_sh.shape == (s, 6, r, 3)
+
+    # Oracle: the batched rollout on one device — same vmapped program, no
+    # sharding. Batch-8 and batch-1 tilings reduce matmuls in different
+    # orders (~1e-6 float noise), so this is allclose, not array_equal.
+    roll_b = make_rollout_fn(cfg, num_steps=6, batched=True)
+    c1, f1, _ = roll_b(params, aa, w0)
+    np.testing.assert_allclose(np.asarray(coords_sh), np.asarray(c1),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(final_sh), np.asarray(f1),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_stream_chunked_rollout_matches_unchunked(sparse_cfg):
+    """stream_chunk only reschedules work (chunks of C streams via lax.map);
+    outputs must be identical to the all-at-once vmap."""
+    import dataclasses
+
+    from molecular_dynamics_neural_operator_tpu.rollout import (
+        make_rollout_fn,
+    )
+
+    cfg = dataclasses.replace(sparse_cfg, predict_delta=True)
+    params = gkn_init(jax.random.PRNGKey(0), cfg)
+    s, t, r = 8, cfg.window_size, cfg.num_residues
+    aa = jnp.arange(r, dtype=jnp.int32) % 20
+    w0 = jax.random.normal(jax.random.PRNGKey(4), (s, t, r, 3)) * 4.0
+
+    full = make_rollout_fn(cfg, num_steps=5, batched=True)
+    chunked = make_rollout_fn(cfg, num_steps=5, batched=True, stream_chunk=2)
+    c_full, f_full, _ = full(params, aa, w0)
+    c_chunk, f_chunk, _ = chunked(params, aa, w0)
+    # batch-8 vs batch-2 tilings reduce in different orders: allclose.
+    np.testing.assert_allclose(np.asarray(c_full), np.asarray(c_chunk),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(f_full), np.asarray(f_chunk),
+                               rtol=1e-4, atol=1e-4)
+
+    # sharded + chunked composes
+    from molecular_dynamics_neural_operator_tpu.parallel import (
+        make_sharded_rollout_fn,
+    )
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    roll_sc = make_sharded_rollout_fn(cfg, mesh, num_steps=5, stream_chunk=1)
+    c_sc, f_sc, _ = roll_sc(params, aa, w0)
+    np.testing.assert_allclose(np.asarray(c_full), np.asarray(c_sc),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_graft_entry_and_dryrun():
     import importlib.util
     import sys
