@@ -399,7 +399,12 @@ def main(argv=None):
         valid_m = eval_epoch(
             state.params, eval_step, dataset, va_idx, train_cfg.batch_size,
         )
-        extra = {"avg_train_mse": train_m["mse"], "avg_valid_mse": valid_m["mse"]}
+        extra = {
+            "avg_train_mse": train_m["mse"],
+            "avg_valid_mse": valid_m["mse"],
+            "steps_per_sec": train_m["steps_per_sec"],
+            "examples_per_sec": train_m["examples_per_sec"],
+        }
 
         if train_cfg.generate_movie and epoch % train_cfg.plot_per_epochs == 0:
             movie = make_propagation_movie(

@@ -98,26 +98,47 @@ def make_eval_step(cfg: ModelConfig, graph_frame: str = "first"):
 
 def train_epoch(state, train_step, dataset, indices, batch_size, *,
                 shuffle=True, drop_last=True, seed=0, epoch=0,
-                put: Optional[Callable] = None, rollout_horizon: int = 0):
-    """Host loop over one epoch. ``put`` optionally shards/transfers the
-    host batch (parallel.shard_batch); identity by default.
-    ``rollout_horizon=K`` attaches y_seq for the curriculum step."""
-    from molecular_dynamics_neural_operator_tpu.data import batch_iterator
+                put: Optional[Callable] = None, rollout_horizon: int = 0,
+                prefetch: int = 2):
+    """Host loop over one epoch.
 
-    total = {"rel_l2": 0.0, "mse": 0.0}
-    n = 0
-    for batch in batch_iterator(
+    ``put`` maps a host batch to device arrays (``parallel.shard_batch``
+    for a mesh; plain ``device_put`` by default). Batches flow through the
+    double-buffered ``prefetch_to_device`` pipeline (the TPU replacement
+    for the reference's DataLoader worker knobs,
+    ``graph_kernel.py:332-335,515-519``) so host assembly and the
+    host->HBM transfer hide behind device compute, and per-step metrics
+    are materialized ONCE at epoch end instead of syncing every step —
+    the device queue runs ahead of the host. ``rollout_horizon=K``
+    attaches y_seq for the curriculum step. The returned metrics include
+    the epoch's ``steps_per_sec`` / ``examples_per_sec``."""
+    from molecular_dynamics_neural_operator_tpu.data import batch_iterator
+    from molecular_dynamics_neural_operator_tpu.data.prefetch import (
+        prefetch_to_device,
+    )
+    from molecular_dynamics_neural_operator_tpu.utils.profiling import (
+        StepTimer,
+    )
+
+    batches = batch_iterator(
         dataset, indices, batch_size, shuffle=shuffle, drop_last=drop_last,
         seed=seed, epoch=epoch, rollout_horizon=rollout_horizon,
-    ):
-        if put is not None:
-            batch = put(batch)
+    )
+    timer = StepTimer(warmup=1)
+    acc = []
+    for batch in prefetch_to_device(batches, size=prefetch, put=put):
         state, metrics = train_step(state, batch)
-        total["rel_l2"] += float(metrics["rel_l2"])
-        total["mse"] += float(metrics["mse"])
-        n += 1
-    if n:
-        total = {k: v / n for k, v in total.items()}
+        acc.append(metrics)
+        timer.tick(examples=batch_size)
+    if not acc:
+        return state, {"rel_l2": 0.0, "mse": 0.0,
+                       "steps_per_sec": 0.0, "examples_per_sec": 0.0}
+    n = len(acc)
+    total = {
+        k: sum(float(m[k]) for m in acc) / n for k in ("rel_l2", "mse")
+    }
+    total["steps_per_sec"] = timer.steps_per_sec
+    total["examples_per_sec"] = timer.examples_per_sec
     return state, total
 
 

@@ -106,4 +106,38 @@ def log_latent_visualization(
         fig.savefig(path, dpi=150)
         plt.close(fig)
         out[key] = path
+    html = write_latent_html(run_dir, epoch, method, out)
+    if html is not None:
+        out["html"] = html
     return out
+
+
+def write_latent_html(run_dir, epoch: int, method: str, png_paths: dict):
+    """Standalone HTML page embedding the latent scatter PNGs (base64).
+
+    The reference logs mdlearn-generated HTML latent plots to wandb every
+    epoch (``graph_kernel.py:609-621``); this is the dependency-free
+    equivalent artifact (consumed by ``MetricLogger`` as ``wandb.Html``).
+    """
+    import base64
+
+    run_dir = Path(run_dir)
+    imgs = []
+    for key, path in png_paths.items():
+        p = Path(path)
+        if p.suffix != ".png" or not p.exists():
+            continue
+        b64 = base64.b64encode(p.read_bytes()).decode("ascii")
+        imgs.append(
+            f"<figure><img src='data:image/png;base64,{b64}' "
+            f"alt='{key}'/><figcaption>{key}</figcaption></figure>"
+        )
+    if not imgs:
+        return None
+    html_path = run_dir / f"latent_{method}_epoch{epoch}.html"
+    html_path.write_text(
+        "<html><head><title>"
+        f"{method} latent space, epoch {epoch}</title></head>"
+        "<body>" + "".join(imgs) + "</body></html>"
+    )
+    return html_path

@@ -63,12 +63,38 @@ class MetricLogger:
                 print(f"[metrics] wandb unavailable ({e}); JSONL only")
                 self._wandb = None
 
+    def _rich(self, value):
+        """Promote artifact paths to wandb media objects — Video for the
+        propagation movie, Image/Html for the latent plots — matching the
+        reference's per-epoch ``wandb.log({video, PCA/TSNE html})``
+        (``graph_kernel.py:588-621``). Non-path values pass through."""
+        if not isinstance(value, (str, Path)):
+            return value
+        p = Path(value)
+        try:
+            if p.suffix in (".mp4", ".gif") and p.exists():
+                return self._wandb.Video(str(p))
+            if p.suffix == ".png" and p.exists():
+                return self._wandb.Image(str(p))
+            if p.suffix == ".html" and p.exists():
+                with open(p) as f:
+                    return self._wandb.Html(f)
+        except Exception:
+            pass
+        return str(value)
+
     def log(self, step: int, metrics: dict) -> None:
-        record = {"step": step, "time": time.time(), **metrics}
+        record = {
+            "step": step, "time": time.time(),
+            **{k: (str(v) if isinstance(v, Path) else v)
+               for k, v in metrics.items()},
+        }
         self._jsonl.write(json.dumps(record) + "\n")
         self._jsonl.flush()
         if self._wandb is not None:
-            self._wandb.log(metrics, step=step)
+            self._wandb.log(
+                {k: self._rich(v) for k, v in metrics.items()}, step=step
+            )
 
     def log_epoch(self, epoch: int, seconds: float, train_loss: float,
                   valid_loss: float, extra: Optional[dict] = None) -> None:

@@ -39,7 +39,9 @@ def _run_once():
 def test_training_and_rollout_are_deterministic():
     m1, c1, s1 = _run_once()
     m2, c2, s2 = _run_once()
-    assert m1 == m2
+    # math must be bit-identical; wall-clock throughput meters are not
+    for k in ("rel_l2", "mse"):
+        assert m1[k] == m2[k]
     np.testing.assert_array_equal(c1, c2)
     for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                     jax.tree_util.tree_leaves(s2.params)):

@@ -113,6 +113,77 @@ def test_latent_pca_and_viz(tmp_path):
         assert p.exists()
 
 
+def test_latent_html_artifact(tmp_path):
+    """log_latent_visualization emits a standalone HTML page embedding the
+    scatter PNGs (the wandb.Html artifact, graph_kernel.py:609-621 parity)."""
+    pytest_skip_without_mpl()
+    from molecular_dynamics_neural_operator_tpu.utils.latent import (
+        log_latent_visualization,
+    )
+
+    latents = np.random.default_rng(0).normal(size=(32, 12)).astype(np.float32)
+    colors = {"RMSD": np.linspace(0, 1, 32)}
+    paths = log_latent_visualization(latents, colors, tmp_path, 0, "PCA")
+    assert "html" in paths
+    html = paths["html"].read_text()
+    assert "data:image/png;base64," in html and "RMSD" in html
+
+
+def pytest_skip_without_mpl():
+    import pytest
+
+    try:
+        import matplotlib  # noqa: F401
+    except Exception:
+        pytest.skip("matplotlib unavailable")
+
+
+def test_metric_logger_rich_wandb_artifacts(tmp_path):
+    """Movie paths go to wandb as Video, PNGs as Image, HTML as Html —
+    scalar dicts alone lose the reference's visual diagnostics."""
+    (tmp_path / "m.gif").write_bytes(b"GIF89a")
+    (tmp_path / "p.png").write_bytes(b"\x89PNG\r\n")
+    (tmp_path / "l.html").write_text("<html></html>")
+
+    class StubMedia:
+        def __init__(self, src):
+            self.src = src
+
+    class StubWandb:
+        Video = type("Video", (StubMedia,), {})
+        Image = type("Image", (StubMedia,), {})
+        Html = type("Html", (StubMedia,), {})
+
+        def __init__(self):
+            self.logged = []
+
+        def log(self, metrics, step=None):
+            self.logged.append((step, metrics))
+
+        def finish(self):
+            pass
+
+    logger = MetricLogger(tmp_path, use_wandb=False)
+    stub = StubWandb()
+    logger._wandb = stub
+    logger.log_epoch(0, 1.0, 0.5, 0.4, {
+        "movie": str(tmp_path / "m.gif"),
+        "plot": str(tmp_path / "p.png"),
+        "latents": str(tmp_path / "l.html"),
+        "scalar": 3.0,
+    })
+    logger.close()
+    _, metrics = stub.logged[0]
+    assert isinstance(metrics["movie"], StubWandb.Video)
+    assert isinstance(metrics["plot"], StubWandb.Image)
+    assert isinstance(metrics["latents"], StubWandb.Html)
+    assert metrics["scalar"] == 3.0
+    # JSONL keeps plain strings
+    rows = [json.loads(l) for l in
+            (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    assert rows[0]["movie"].endswith("m.gif")
+
+
 def test_movie_renders(tmp_path):
     from molecular_dynamics_neural_operator_tpu.utils.movie import (
         render_propagation_movie,
