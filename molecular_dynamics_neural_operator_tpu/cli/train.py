@@ -68,6 +68,10 @@ def parse_args(argv=None):
     p.add_argument("--compute_dtype", choices=["float32", "bfloat16"],
                    default="bfloat16")
     p.add_argument("--predict_delta", action="store_true")
+    p.add_argument("--electrostatics", choices=["none", "dh"],
+                   default="none",
+                   help="append the on-device Debye-Hueckel potential at "
+                        "each residue as a node feature (BASELINE config 5)")
     p.add_argument("--latent_frames", type=int, default=10000)
     p.add_argument("--resume", type=Path, default=None,
                    help="checkpoint (.npz) to resume from")
@@ -102,6 +106,7 @@ def build_configs(args):
         max_edges=args.max_edges,
         compute_dtype=args.compute_dtype,
         predict_delta=args.predict_delta,
+        electrostatics=args.electrostatics,
     )
     data = DataConfig(
         data_path=str(args.data_path),

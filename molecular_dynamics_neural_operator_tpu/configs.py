@@ -61,6 +61,15 @@ class ModelConfig:
     max_degree: int = 32
     cell_capacity: int = 16
     num_cells: int = 4096
+    # Electrostatic node features (BASELINE config 5): "dh" appends the
+    # on-device Debye-Hueckel potential at each atom (computed from the
+    # window's last frame, so it follows predicted coordinates during
+    # rollout) as an extra node feature. fc1's input widens by one
+    # internally; node_features stays the 7 base features.
+    electrostatics: str = "none"  # "none" | "dh"
+    eps_solvent: float = 78.0
+    temperature: float = 310.0
+    ionic_strength: float = 0.15
 
 
 @dataclass(frozen=True)

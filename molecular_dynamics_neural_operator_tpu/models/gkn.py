@@ -47,6 +47,10 @@ from molecular_dynamics_neural_operator_tpu.ops import (
     mlp_init,
 )
 from molecular_dynamics_neural_operator_tpu.ops.edge_conv import sparse_inv_degree
+from molecular_dynamics_neural_operator_tpu.preprocess.grid_jax import (
+    AMINO_ACID_CHARGES,
+    debye_huckel_at_atoms,
+)
 
 Array = jax.Array
 
@@ -102,7 +106,7 @@ def gkn_init(key, cfg: ModelConfig):
         ),
         "lstm": lstm_init(keys[1], cfg.x_position_dim, cfg.x_position_dim),
         "lstm_fc": linear_init(keys[2], cfg.x_position_dim, cfg.x_position_dim),
-        "fc1": linear_init(keys[3], cfg.node_features, w),
+        "fc1": linear_init(keys[3], _node_in_features(cfg), w),
         "edge_kernel": mlp_init(
             keys[4], [cfg.edge_features, cfg.ker_width, cfg.ker_width, w * w]
         ),
@@ -122,12 +126,30 @@ def _compute_dtype(cfg: ModelConfig):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
 
+def _node_in_features(cfg: ModelConfig) -> int:
+    """fc1 input width: the 7 base features plus the electrostatic
+    potential when enabled (BASELINE config 5)."""
+    return cfg.node_features + (1 if cfg.electrostatics == "dh" else 0)
+
+
 def _encode_nodes(params, cfg: ModelConfig, aa: Array, window: Array) -> Array:
     """window (T, R, 3) + aa (R,) -> node features (R, width) after fc1+ReLU."""
     h = lstm_apply(params["lstm"], window)  # (R, 3)
     h = linear_apply(params["lstm_fc"], h)
     emb = params["emb"][aa]  # (R, embedding_dim)
-    x = jnp.concatenate([emb, h], axis=-1)  # (R, 7)
+    feats = [emb, h]
+    if cfg.electrostatics == "dh":
+        # On-device screened-Coulomb potential at each residue from the
+        # window's LAST frame: recomputed from predicted coordinates every
+        # rollout step — the feature the reference's preprocessing computes
+        # grids for but never consumes (/root/reference/preprocess.py:79-93).
+        phi = debye_huckel_at_atoms(
+            window[-1], jnp.asarray(AMINO_ACID_CHARGES)[aa % 20],
+            eps_s=cfg.eps_solvent, temperature=cfg.temperature,
+            ionic_strength_M=cfg.ionic_strength,
+        )
+        feats.append(phi[:, None])
+    x = jnp.concatenate(feats, axis=-1)  # (R, 7 [+1])
     return jax.nn.relu(linear_apply(params["fc1"], x))
 
 

@@ -90,6 +90,87 @@ def debye_huckel_grid(
     return phi[:g]
 
 
+# Net side-chain charge (elementary units, pH 7) per amino-acid embedding
+# index, alphabetical order (ALA ARG ASN ASP CYS GLN GLU GLY HIS ILE LEU
+# LYS MET PHE PRO SER THR TRP TYR VAL): ARG/LYS +1, ASP/GLU -1, HIS +0.1.
+# Plain numpy on purpose: this module may first be imported INSIDE a jit
+# trace (models/gkn.py imports it lazily), and a module-level jnp constant
+# created under an active trace leaks a tracer.
+import numpy as _np
+
+AMINO_ACID_CHARGES = _np.asarray(
+    [0.0, 1.0, 0.0, -1.0, 0.0, 0.0, -1.0, 0.0, 0.1, 0.0,
+     0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+    dtype=_np.float32,
+)
+
+
+def debye_huckel_at_atoms(
+    positions: jax.Array,
+    charges: jax.Array,
+    eps_s: float = 78.0,
+    temperature: float = 310.0,
+    ionic_strength_M: float = 0.15,
+    min_dist: float = 1.0,
+) -> jax.Array:
+    """Screened-Coulomb potential (kT/e) AT each atom site from all OTHER
+    atoms (self-interaction excluded).
+
+    The on-device electrostatic node feature for BASELINE config 5: pure
+    function of (positions, charges), so it recomputes from *predicted*
+    coordinates inside the jitted rollout scan — the feature path the
+    reference computes grids for but never wires in
+    (``/root/reference/preprocess.py:79-93``). positions (..., N, 3),
+    charges (N,) -> (..., N).
+    """
+    kappa = debye_kappa(ionic_strength_M, eps_s, temperature)
+    lb = _BJERRUM_A_K / (eps_s * temperature)
+    d2 = jnp.sum(
+        (positions[..., :, None, :] - positions[..., None, :, :]) ** 2,
+        axis=-1,
+    )
+    d = jnp.sqrt(jnp.maximum(d2, min_dist * min_dist))
+    green = jnp.exp(-kappa * d) / d
+    n = positions.shape[-2]
+    green = green * (1.0 - jnp.eye(n, dtype=green.dtype))  # no self term
+    return lb * jnp.einsum(
+        "...ij,j->...i", green, charges,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def sample_grid_trilinear(
+    grid: jax.Array,
+    origin: jax.Array,
+    spacing: jax.Array,
+    positions: jax.Array,
+) -> jax.Array:
+    """Trilinear interpolation of a (gx, gy, gz) potential grid at atom
+    positions (N, 3) — the on-device consumer for APBS ``.dx`` grids
+    (``preprocess/electrostatics.py``'s parser emits grid+origin+delta).
+    Positions outside the box clamp to the boundary."""
+    shape = jnp.asarray(grid.shape, jnp.float32)
+    f = (positions - origin) / spacing  # fractional grid coords (N, 3)
+    f = jnp.clip(f, 0.0, shape - 1.0)
+    f0 = jnp.floor(jnp.minimum(f, shape - 2.0))
+    t = f - f0  # (N, 3) in [0, 1]
+    i0 = f0.astype(jnp.int32)
+
+    def corner(dx, dy, dz):
+        idx = i0 + jnp.asarray([dx, dy, dz], jnp.int32)
+        w = jnp.prod(
+            jnp.where(jnp.asarray([dx, dy, dz]) == 1, t, 1.0 - t), axis=-1
+        )
+        return w * grid[idx[:, 0], idx[:, 1], idx[:, 2]]
+
+    out = 0.0
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                out = out + corner(dx, dy, dz)
+    return out
+
+
 def batched_debye_huckel_grids(
     trajectory_positions: jax.Array,
     charges: jax.Array,

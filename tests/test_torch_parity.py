@@ -35,81 +35,11 @@ from molecular_dynamics_neural_operator_tpu.utils.torch_import import (  # noqa:
 )
 
 
-class TorchDenseNet(nn.Module):
-    """DenseNet layout parity: Linear at even indices, ReLU odd
-    (graph_kernel.py:217-242)."""
-
-    def __init__(self, sizes):
-        super().__init__()
-        layers = []
-        for j in range(len(sizes) - 1):
-            layers.append(nn.Linear(sizes[j], sizes[j + 1]))
-            if j != len(sizes) - 2:
-                layers.append(nn.ReLU())
-        self.layers = nn.ModuleList(layers)
-
-    def forward(self, x):
-        for layer in self.layers:
-            x = layer(x)
-        return x
-
-
-class TorchNNConv(nn.Module):
-    """NNConv_old math (graph_kernel.py:194-209) with mean aggregation,
-    plain torch (scatter via index_add)."""
-
-    def __init__(self, width, net):
-        super().__init__()
-        self.width = width
-        self.net = net
-        self.root = nn.Parameter(torch.empty(width, width).uniform_(-0.1, 0.1))
-        self.bias = nn.Parameter(torch.empty(width).uniform_(-0.1, 0.1))
-
-    def forward(self, x, edge_index, edge_attr):
-        src, dst = edge_index[0], edge_index[1]
-        weight = self.net(edge_attr).view(-1, self.width, self.width)
-        msgs = torch.bmm(x[src].unsqueeze(1), weight).squeeze(1)
-        r = x.shape[0]
-        agg = torch.zeros(r, self.width).index_add_(0, dst, msgs)
-        deg = torch.zeros(r).index_add_(0, dst, torch.ones_like(dst, dtype=torch.float32))
-        agg = agg / deg.clamp(min=1.0).unsqueeze(1)
-        return agg + torch.mm(x, self.root) + self.bias
-
-
-class TorchKernelNN(nn.Module):
-    """Reference KernelNN replica; attribute names produce the reference's
-    state_dict keys."""
-
-    def __init__(self, width, ker_width, depth, window_size, num_residues):
-        super().__init__()
-        self.depth = depth
-        self.window_size = window_size
-        self.num_residues = num_residues
-        self.lstm = nn.LSTM(3, 3)
-        self.lstm_fc = nn.Linear(3, 3)
-        self.emb = nn.Embedding(20, 4)
-        self.fc1 = nn.Linear(7, width)
-        kernel = TorchDenseNet([6, ker_width, ker_width, width**2])
-        self.conv1 = TorchNNConv(width, kernel)
-        self.conv2 = TorchNNConv(width, kernel)  # shared net, as reference
-        self.fc2 = nn.Linear(width, 3)
-
-    def forward(self, window, aa, edge_index, edge_attr):
-        # window: (T, R, 3). Reference single-example path: feed each frame
-        # as (1, R, 3) with carried hidden state (graph_kernel.py:279-288).
-        hidden = (torch.zeros(1, self.num_residues, 3),
-                  torch.zeros(1, self.num_residues, 3))
-        for frame in window:
-            x, hidden = self.lstm(frame.unsqueeze(0), hidden)
-        x = self.lstm_fc(x.squeeze(0))  # (R, 3)
-        emb = self.emb(aa)
-        x = torch.cat((emb, x), dim=1)
-        x = F.relu(self.fc1(x))
-        for _ in range(self.depth):
-            x = F.relu(self.conv1(x, edge_index, edge_attr))
-        for _ in range(self.depth):
-            x = F.relu(self.conv2(x, edge_index, edge_attr))
-        return self.fc2(x)
+from tools.torch_replica import (  # noqa: E402
+    TorchDenseNet,
+    TorchKernelNN,
+    TorchNNConv,
+)
 
 
 def test_forward_parity_with_reference_architecture():
@@ -150,6 +80,115 @@ def test_forward_parity_with_reference_architecture():
                          graph)
     )
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_export_import_roundtrip():
+    """torch_export is the exact inverse of torch_import: params survive a
+    JAX -> reference-state_dict -> JAX round trip bit-for-bit."""
+    from molecular_dynamics_neural_operator_tpu.models import gkn_init
+    from molecular_dynamics_neural_operator_tpu.utils.torch_export import (
+        export_reference_state_dict,
+    )
+
+    cfg = ModelConfig(width=16, ker_width=32, depth=2, window_size=4,
+                      num_residues=10, compute_dtype="float32")
+    params = jax.tree_util.tree_map(
+        np.asarray, gkn_init(jax.random.PRNGKey(3), cfg)
+    )
+    sd = export_reference_state_dict(params, cfg)
+    back = import_reference_state_dict(sd, cfg)
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(leaf, flat_b[path])
+
+
+def test_exported_state_dict_loads_into_torch_replica():
+    """The exported dict load_state_dict()s cleanly (strict) and the torch
+    replica reproduces our forward on the same weights."""
+    from molecular_dynamics_neural_operator_tpu.models import gkn_init
+    from molecular_dynamics_neural_operator_tpu.utils.torch_export import (
+        export_reference_state_dict,
+    )
+
+    width, ker_width, depth, t, r = 16, 32, 2, 4, 10
+    cfg = ModelConfig(width=width, ker_width=ker_width, depth=depth,
+                      window_size=t, num_residues=r,
+                      compute_dtype="float32")
+    params = gkn_init(jax.random.PRNGKey(5), cfg)
+    sd = export_reference_state_dict(
+        jax.tree_util.tree_map(np.asarray, params), cfg
+    )
+    model = TorchKernelNN(width, ker_width, depth, t, r)
+    model.load_state_dict({k: torch.tensor(v) for k, v in sd.items()},
+                          strict=True)
+    model.eval()
+
+    rng = np.random.default_rng(2)
+    window = rng.normal(size=(t, r, 3)).astype(np.float32) * 4
+    aa = rng.integers(0, 20, r).astype(np.int64)
+    adj = np.asarray(contact_map(jnp.asarray(window[-1]), 8.0))
+    src, dst = np.nonzero(adj)
+    edge_attr = np.concatenate(
+        [window[-1][src], window[-1][dst]], axis=1
+    ).astype(np.float32)
+    with torch.no_grad():
+        ref = model(
+            torch.tensor(window), torch.tensor(aa),
+            torch.tensor(np.stack([src, dst])), torch.tensor(edge_attr),
+        ).numpy()
+    graph = DenseGraph(
+        adj=jnp.asarray(adj),
+        edge_feats=dense_edge_features(jnp.asarray(window[-1])),
+    )
+    ours = np.asarray(
+        gkn_apply_single(params, cfg, jnp.asarray(aa), jnp.asarray(window),
+                         graph)
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_rollout_parity_with_reference_loop():
+    """Trajectory-level parity: our jitted lax.scan rollout tracks the
+    reference's own host loop (scipy rebuild each step,
+    graph_kernel.py:396-413) on identical weights."""
+    from tools.torch_replica import torch_recursive_propagation
+
+    from molecular_dynamics_neural_operator_tpu.data import (
+        synthetic_trajectory,
+    )
+    from molecular_dynamics_neural_operator_tpu.models import gkn_init
+    from molecular_dynamics_neural_operator_tpu.rollout import (
+        make_rollout_fn,
+    )
+    from molecular_dynamics_neural_operator_tpu.utils.torch_export import (
+        export_reference_state_dict,
+    )
+
+    width, ker_width, depth, t, r = 16, 32, 2, 4, 12
+    cfg = ModelConfig(width=width, ker_width=ker_width, depth=depth,
+                      window_size=t, num_residues=r,
+                      compute_dtype="float32", predict_delta=True)
+    params = gkn_init(jax.random.PRNGKey(7), cfg)
+    sd = export_reference_state_dict(
+        jax.tree_util.tree_map(np.asarray, params), cfg
+    )
+    replica = TorchKernelNN(width, ker_width, depth, t, r,
+                            predict_delta=True)
+    replica.load_state_dict({k: torch.tensor(v) for k, v in sd.items()},
+                            strict=True)
+
+    traj = synthetic_trajectory(num_frames=t + 2, num_residues=r, seed=9)
+    w0 = traj.positions[:t]
+    steps = 10
+    roll = make_rollout_fn(cfg, num_steps=steps)
+    coords_jax = np.asarray(
+        roll(params, jnp.asarray(traj.aminoacids), jnp.asarray(w0))[0]
+    )
+    coords_ref = torch_recursive_propagation(replica, w0, traj.aminoacids,
+                                             steps)
+    np.testing.assert_allclose(coords_jax, coords_ref, rtol=1e-3, atol=1e-3)
 
 
 def test_import_reference_checkpoint_file(tmp_path):

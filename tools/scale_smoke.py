@@ -40,12 +40,15 @@ def main():
     p.add_argument("--ker_width", type=int, default=128)
     p.add_argument("--width", type=int, default=64)
     p.add_argument("--depth", type=int, default=6)
+    p.add_argument("--electrostatics", choices=["none", "dh"], default="dh",
+                   help="include the on-device DH potential node feature "
+                        "(BASELINE config 5: 'with electrostatics features')")
     args = p.parse_args()
 
     cfg = dataclasses.replace(
         SOLVATED_10K, num_residues=args.nodes, max_edges=args.edges,
         ker_width=args.ker_width, width=args.width, depth=args.depth,
-        compute_dtype="bfloat16",
+        compute_dtype="bfloat16", electrostatics=args.electrostatics,
     )
     r, t = cfg.num_residues, cfg.window_size
     rng = np.random.default_rng(0)
@@ -111,7 +114,7 @@ def main():
 
     print(json.dumps({
         "nodes": r, "edge_capacity": cap, "real_edges": int(e),
-        "ker_width": args.ker_width,
+        "ker_width": args.ker_width, "electrostatics": args.electrostatics,
         "compile_s": round(compile_s, 1),
         "forward_s": round(fwd_s, 3),
         "rollout_2steps_s": round(roll2_s, 3),
