@@ -42,6 +42,11 @@ def parse_args(argv=None):
                    default="bfloat16")
     p.add_argument("--predict_delta", action="store_true")
     p.add_argument("--clip", type=float, default=None)
+    p.add_argument("--impl", choices=["scan", "persistent"], default="scan",
+                   help="'persistent' = grid-over-steps Pallas kernel with "
+                        "VMEM-resident weights (fastest single stream on "
+                        "TPU; sparse graph semantics, requires "
+                        "tie_edge_kernel)")
     p.add_argument("--movie", action="store_true")
     return p.parse_args(argv)
 
@@ -103,14 +108,30 @@ def main(argv=None):
     truth_lo = s + cfg.window_size
     have_truth = truth_lo + args.num_steps <= traj.num_frames
     t0 = time.time()
-    if have_truth:
+    mses = None
+    if args.impl == "persistent":
+        from molecular_dynamics_neural_operator_tpu.ops.pallas.persistent_rollout import (
+            make_persistent_rollout_fn,
+        )
+
+        roll = make_persistent_rollout_fn(cfg, args.num_steps,
+                                          args.threshold, clip=args.clip)
+        coords, _, diags = roll(params, aa, window0)
+        if bool(diags["edge_overflow"]):
+            print("WARNING: graph rebuild exceeded max_edges during the "
+                  "rollout; edges were truncated (raise --max_edges)")
+        if have_truth:
+            truth = traj.positions[truth_lo : truth_lo + args.num_steps]
+            mses = np.mean(
+                (np.asarray(coords) - truth) ** 2, axis=(1, 2)
+            )
+    elif have_truth:
         truth = jnp.asarray(traj.positions[truth_lo : truth_lo + args.num_steps])
         coords, mses, _ = jax.jit(
             lambda p, a, w, t: rollout_with_mse(
                 p, cfg, a, w, t, args.threshold, clip=args.clip
             )
         )(params, aa, window0, truth)
-        np.save(out_dir / "per_step_mse.npy", np.asarray(mses))
     else:
         roll = make_rollout_fn(cfg, args.num_steps, args.threshold,
                                clip=args.clip)
@@ -118,6 +139,8 @@ def main(argv=None):
         if bool(diags["edge_overflow"]):
             print("WARNING: graph rebuild exceeded max_edges during the "
                   "rollout; edges were truncated (raise --max_edges)")
+    if mses is not None:
+        np.save(out_dir / "per_step_mse.npy", np.asarray(mses))
     coords = np.asarray(jax.block_until_ready(coords))
     dt = time.time() - t0
     np.save(out_dir / "forecast_coords.npy", coords)

@@ -1,0 +1,431 @@
+"""Persistent grid-over-steps Pallas rollout: the WHOLE autoregressive
+rollout as ONE kernel launch.
+
+The XLA rollout (``rollout/scan.py``) re-streams the edge-kernel MLP
+weights (~10.5 MB bf16 at reference size) from HBM every step of the scan
+— ~13 us of the ~50 us step. Here the scan itself becomes the Pallas grid:
+``grid=(num_steps,)`` with every weight bound via a constant index map, so
+Mosaic loads them into VMEM once and the revolving-buffer pipeline skips
+the re-copy on every subsequent step (TPU grids execute sequentially).
+The coordinate window lives in VMEM scratch across grid steps; the only
+per-step HBM traffic is the (R, 3) output block.
+
+Each grid step runs the full reference step semantics
+(``/root/reference/graph_kernel.py:396-413`` + ``:362-393``):
+
+1. contact map of the window's LAST frame (squared-distance matmul trick),
+2. padded-edge extraction WITHOUT gather/scatter: inclusive-cumsum ranking
+   by a triangular matmul, slot-assignment one-hot, and the source/target
+   incidence matrices G/D produced directly as (E, R) matmuls,
+3. per-residue LSTM over the window + embedding + fc1,
+4. edge-kernel MLP on the MXU (weights resident),
+5. 2*depth weight-tied conv layers with the per-edge matvec in REP/RED
+   form — duplicate xs across lanes with a 0/1 REP matmul, elementwise
+   multiply against the VMEM-resident kernel tensor, reduce groups with a
+   0/1 RED matmul (both MXU, f32 accumulation),
+6. fc2 head (+ optional delta/clip), window slide in scratch.
+
+Pad residues are pinned at far-apart sentinel coordinates so they never
+enter the contact graph; edge overflow (true edge count > capacity) is
+accumulated into a diagnostic output. Exact vs the XLA path in f32
+(tests/test_persistent_rollout.py, interpret mode on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from molecular_dynamics_neural_operator_tpu.ops.pallas.fused_gkn import (
+    _PALLAS,
+    pallas_available,
+)
+
+if _PALLAS:  # pragma: no branch
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.lru_cache(maxsize=8)
+def _static_mats(r_pad: int, width: int, dtype_str: str):
+    """Constant 0/1 matrices: inclusive-cumsum lower-triangular M (P, P)
+    (M[p, q] = 1 iff q <= p, so rank = M @ flat), pair->row/col one-hots
+    (P, R_pad), REP (w, w^2), RED (w^2, w). Everything operates on FLAT
+    (P, 1)/(P, E) column layouts — Mosaic rejects (R, R) <-> (1, P) shape
+    casts, so the pair axis lives on sublanes end to end."""
+    dt = np.float32
+    p = r_pad * r_pad
+    m = np.tril(np.ones((p, p), np.float32))
+    pair = np.arange(p)
+    row_oh = np.zeros((p, r_pad), np.float32)
+    row_oh[pair, pair // r_pad] = 1.0
+    col_oh = np.zeros((p, r_pad), np.float32)
+    col_oh[pair, pair % r_pad] = 1.0
+    rep = np.zeros((width, width * width), np.float32)
+    for wi in range(width):
+        rep[wi, wi * width : (wi + 1) * width] = 1.0
+    red = np.zeros((width * width, width), np.float32)
+    red[np.arange(width * width), np.arange(width * width) % width] = 1.0
+    # RED for the pltpu.repeat (np.tile semantics) layout: K' stores each
+    # edge's matrix TRANSPOSED (index v*w + wi), so the tile-expanded xs
+    # lines up and the reduction sums contiguous w-groups.
+    red_t = np.kron(np.eye(width, dtype=np.float32),
+                    np.ones((width, 1), np.float32))
+    if dtype_str != "float32":
+        import ml_dtypes
+
+        dt = ml_dtypes.bfloat16
+    # row/col one-hots stay f32: they perform exact coordinate selection
+    return (m.astype(dt), row_oh, col_oh, rep.astype(dt), red.astype(dt),
+            red_t.astype(dt))
+
+
+def _kernel(
+    # inputs (all constant index maps -> VMEM-resident across steps)
+    window0_ref, valid_ref, sentinel_ref, emb_aa_ref,
+    lstm_wih_ref, lstm_whh_ref, lstm_b_ref, lfc_w_ref, lfc_b_ref,
+    fc1a_ref, fc1b_ref, fc1_b_ref,
+    w1a_ref, w1b_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+    root1_ref, bias1_ref, root2_ref, bias2_ref,
+    fc2_w_ref, fc2_b_ref,
+    m_ref, row_oh_ref, col_oh_ref, rep_ref, red_ref, slots_ref, ones_e_ref,
+    pair_valid_ref,
+    # outputs
+    coords_ref, overflow_ref,
+    # scratch
+    window_ref, k_ref,
+    *,
+    t_len: int,
+    r_pad: int,
+    e_cap: int,
+    width: int,
+    depth: int,
+    thr2: float,
+    clip: float,
+    predict_delta: bool,
+    compute_dtype: str,
+    use_repeat: bool = False,
+):
+    step = pl.program_id(0)
+    f32 = jnp.float32
+    cd = f32 if compute_dtype == "float32" else jnp.bfloat16
+
+    @pl.when(step == 0)
+    def _init():
+        window_ref[:] = window0_ref[:]
+        overflow_ref[:, :] = jnp.zeros((1, 1), f32)
+
+    pos = window_ref[t_len - 1]  # (R_pad, 3) f32; pads at far sentinels
+
+    # ---- 1+2. contact test + edge extraction, entirely in FLAT column
+    # layout (pair axis on sublanes): gather both endpoints of every pair
+    # with the static one-hot matmuls, threshold the squared distance,
+    # rank set pairs with a triangular matmul, build the slot-assignment
+    # one-hot, and contract it into the (E, R) incidence matrices.
+    row_oh = row_oh_ref[:]                                  # (P, R) f32
+    col_oh = col_oh_ref[:]                                  # (P, R) f32
+    # selection matmuls stay f32: a one-hot row has ONE nonzero term, so
+    # the contact test sees full-precision coordinates (parity with the
+    # XLA path's f32 contact_map even under bf16 compute).
+    p_src = jnp.dot(row_oh, pos, preferred_element_type=f32)  # (P, 3)
+    p_dst = jnp.dot(col_oh, pos, preferred_element_type=f32)  # (P, 3)
+    diff = p_src - p_dst
+    d2f = jnp.sum(diff * diff, axis=1, keepdims=True)       # (P, 1)
+    # pair_valid zeroes every pair touching a pad residue — without it the
+    # pad SELF-pairs (distance 0) would become real unmasked edges whose
+    # kernel values blow up over the conv layers.
+    flat = (d2f < thr2).astype(f32) * pair_valid_ref[:]     # (P, 1)
+    rank = jnp.dot(
+        m_ref[:], flat.astype(m_ref.dtype), preferred_element_type=f32
+    )                                                        # (P, 1)
+    count = jnp.sum(flat)
+    slots = slots_ref[:]                                     # (1, E) 1..E
+    assign_t = jnp.where(
+        (rank == slots) & (flat > 0.0), 1.0, 0.0
+    )                                                        # (P, E) f32
+    g = jax.lax.dot_general(                                 # (E, R)
+        assign_t, row_oh,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    d = jax.lax.dot_general(                                 # (E, R)
+        assign_t, col_oh,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    mask = jnp.sum(g, axis=1, keepdims=True)                 # (E, 1)
+    deg_col = jax.lax.dot_general(                           # (R, 1)
+        d, ones_e_ref[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    inv_deg = 1.0 / jnp.maximum(deg_col, 1.0)                # (R, 1)
+
+    # ---- 3. LSTM window encoder + embedding + fc1
+    h = jnp.zeros((r_pad, 3), f32)
+    c = jnp.zeros((r_pad, 3), f32)
+    for t in range(t_len):
+        x_t = window_ref[t]
+        gates = (
+            jnp.dot(x_t, lstm_wih_ref[:], preferred_element_type=f32)
+            + jnp.dot(h, lstm_whh_ref[:], preferred_element_type=f32)
+            + lstm_b_ref[:]
+        )
+        i_g = jax.nn.sigmoid(gates[:, 0:3])
+        f_g = jax.nn.sigmoid(gates[:, 3:6])
+        g_g = jnp.tanh(gates[:, 6:9])
+        o_g = jax.nn.sigmoid(gates[:, 9:12])
+        c = f_g * c + i_g * g_g
+        h = o_g * jnp.tanh(c)
+    h = jnp.dot(h, lfc_w_ref[:], preferred_element_type=f32) + lfc_b_ref[:]
+    x = (
+        jnp.dot(emb_aa_ref[:], fc1a_ref[:], preferred_element_type=f32)
+        + jnp.dot(h, fc1b_ref[:], preferred_element_type=f32)
+        + fc1_b_ref[:]
+    )
+    x = jnp.maximum(x, 0.0)                                  # (R, w)
+
+    # ---- 4. edge-kernel MLP (weights resident); split first layer so the
+    # [pos_src ; pos_dst] concat never materializes
+    gp = jnp.dot(g.astype(cd), pos.astype(cd), preferred_element_type=f32)
+    dp = jnp.dot(d.astype(cd), pos.astype(cd), preferred_element_type=f32)
+    h1 = (
+        jnp.dot(gp.astype(cd), w1a_ref[:], preferred_element_type=f32)
+        + jnp.dot(dp.astype(cd), w1b_ref[:], preferred_element_type=f32)
+        + b1_ref[:]
+    )
+    h1 = jnp.maximum(h1, 0.0).astype(cd)
+    h2 = jnp.dot(h1, w2_ref[:], preferred_element_type=f32) + b2_ref[:]
+    h2 = jnp.maximum(h2, 0.0).astype(cd)
+    kt = jnp.dot(h2, w3_ref[:], preferred_element_type=f32) + b3_ref[:]
+    k_ref[:] = (kt * mask).astype(cd)                        # (E, w^2)
+
+    # ---- 5. 2*depth weight-tied conv layers.
+    # Per-edge matvec in REP/RED form with the reduction REORDERED:
+    #   agg = D^T @ ((xs @ REP) * K) @ RED  ==  (D^T @ prod) @ RED
+    # so the big contractions run at R rows (32) instead of E rows (256),
+    # and the (E, w) message tensor never materializes. REP is a selection
+    # matmul (one nonzero per output) so bf16 accumulation is exact — no
+    # f32 round-trip cast passes over the (E, w^2) tensors.
+    g_cd = g.astype(cd)
+    d_cd = d.astype(cd)
+    kt_res = k_ref[:]
+    for layer in range(2 * depth):
+        root = root1_ref[:] if layer < depth else root2_ref[:]
+        bias = bias1_ref[:] if layer < depth else bias2_ref[:]
+        # (Mosaic requires 32-bit matmul accumulators; selection matmuls
+        # are exact regardless, the casts back to cd are cheap VPU passes.)
+        xs = jnp.dot(
+            g_cd, x.astype(cd), preferred_element_type=f32
+        ).astype(cd)                                         # (E, w)
+        if use_repeat:
+            rep = pltpu.repeat(xs, width, axis=1)            # (E, w^2)
+        else:
+            rep = jnp.dot(
+                xs, rep_ref[:], preferred_element_type=f32
+            ).astype(cd)
+        prod = rep * kt_res                                  # (E, w^2) cd
+        node_prod = jax.lax.dot_general(                     # (R, w^2)
+            d_cd, prod,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        agg = jnp.dot(
+            node_prod.astype(cd), red_ref[:], preferred_element_type=f32
+        )                                                    # (R, w)
+        agg = agg * inv_deg
+        rootx = jnp.dot(x.astype(cd), root, preferred_element_type=f32)
+        x = jnp.maximum(agg + rootx + bias, 0.0)
+
+    # ---- 6. head, safety rail, window slide
+    out = jnp.dot(x.astype(cd), fc2_w_ref[:], preferred_element_type=f32)
+    out = out + fc2_b_ref[:]
+    if predict_delta:
+        out = out + pos
+    if clip > 0:
+        out = jnp.clip(out, -clip, clip)
+    valid = valid_ref[:]                                     # (R, 1)
+    # where, not arithmetic mixing: 0 * inf from a saturated pad row would
+    # inject NaN into the window.
+    out = jnp.where(valid > 0.0, out, sentinel_ref[:])
+
+    for t in range(t_len - 1):
+        window_ref[t] = window_ref[t + 1]
+    window_ref[t_len - 1] = out
+    coords_ref[0] = out
+    overflow_ref[:, :] = jnp.maximum(
+        overflow_ref[:, :],
+        jnp.where(count > e_cap, 1.0, 0.0).reshape(1, 1),
+    )
+
+
+def persistent_rollout(
+    params,
+    cfg,
+    aa,
+    window0,
+    num_steps: int,
+    threshold: float = 8.0,
+    clip: float | None = None,
+    interpret: bool = False,
+    use_repeat: bool = False,
+):
+    """Roll the GKN forward ``num_steps`` steps in one kernel launch.
+
+    Matches ``rollout_scan(..., graph_frame="last", collect="coords")``
+    semantics on the sparse path with ``max_edges=cfg.max_edges``.
+    Requires ``tie_edge_kernel`` and ``electrostatics="none"``. Returns
+    (coords (num_steps, R, 3) f32, diags dict).
+    """
+    if not cfg.tie_edge_kernel:
+        raise ValueError("persistent rollout requires tie_edge_kernel=True")
+    if cfg.electrostatics != "none":
+        raise ValueError("persistent rollout: electrostatics not supported")
+    r = int(aa.shape[0])
+    t_len, width, kw = cfg.window_size, cfg.width, cfg.ker_width
+    e_cap = cfg.max_edges
+    r_pad = _round_up(r, 8)
+    cd_str = cfg.compute_dtype
+    cd = jnp.float32 if cd_str == "float32" else jnp.bfloat16
+
+    # pad residues parked far apart: pad row k at (BIG * (k + 1), 0, 0)
+    sentinel = np.zeros((r_pad, 3), np.float32)
+    for k in range(r, r_pad):
+        sentinel[k, 0] = 1e7 * (k - r + 1)
+    valid = np.zeros((r_pad, 1), np.float32)
+    valid[:r] = 1.0
+
+    window0 = jnp.asarray(window0, jnp.float32)
+    w0 = jnp.concatenate(
+        [window0, jnp.broadcast_to(jnp.asarray(sentinel[r:]),
+                                   (t_len, r_pad - r, 3))], axis=1
+    ) if r_pad > r else window0
+
+    emb_aa = jnp.zeros((r_pad, cfg.embedding_dim), jnp.float32)
+    emb_aa = emb_aa.at[:r].set(params["emb"][aa])
+
+    mlp = params["edge_kernel"]
+    w1 = mlp["layer_0"]["w"]  # (6, kw)
+    w3 = mlp["layer_2"]["w"]  # (kw, w^2)
+    b3 = mlp["layer_2"]["b"]
+    lstm = params["lstm"]
+
+    use_rep_eff = use_repeat and not interpret
+    m_mat, row_oh, col_oh, rep, red, red_t = _static_mats(
+        r_pad, width, cd_str
+    )
+    if use_rep_eff:
+        # tile-layout kernel tensor: permute W3's columns so K' holds each
+        # edge's matrix transposed (index v*w + wi), matching pltpu.repeat.
+        perm = np.arange(width * width).reshape(width, width).T.ravel()
+        w3 = w3[:, perm]
+        b3 = b3[perm]
+        red = red_t
+    slots = np.arange(1, e_cap + 1, dtype=np.float32)[None, :]  # (1, E)
+    ones_e = np.ones((e_cap, 1), np.float32)
+    pair_valid = (valid.reshape(-1, 1) * valid.reshape(1, -1)).reshape(
+        r_pad * r_pad, 1
+    ).astype(np.float32)
+
+    kernel = functools.partial(
+        _kernel, t_len=t_len, r_pad=r_pad, e_cap=e_cap, width=width,
+        depth=cfg.depth, thr2=float(threshold) ** 2,
+        clip=float(clip) if clip is not None else 0.0,
+        predict_delta=cfg.predict_delta, compute_dtype=cd_str,
+        use_repeat=use_rep_eff,
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    inputs = [
+        w0, jnp.asarray(valid), jnp.asarray(sentinel), emb_aa,
+        lstm["w_ih"], lstm["w_hh"],
+        (lstm["b_ih"] + lstm["b_hh"])[None, :],
+        params["lstm_fc"]["w"], params["lstm_fc"]["b"][None, :],
+        params["fc1"]["w"][: cfg.embedding_dim],
+        params["fc1"]["w"][cfg.embedding_dim :],
+        params["fc1"]["b"][None, :],
+        w1[:3].astype(cd), w1[3:6].astype(cd),
+        mlp["layer_0"]["b"][None, :],
+        mlp["layer_1"]["w"].astype(cd), mlp["layer_1"]["b"][None, :],
+        w3.astype(cd), b3[None, :],
+        params["conv1"]["root"].astype(cd),
+        params["conv1"]["bias"][None, :],
+        params["conv2"]["root"].astype(cd),
+        params["conv2"]["bias"][None, :],
+        params["fc2"]["w"].astype(cd), params["fc2"]["b"][None, :],
+        jnp.asarray(m_mat), jnp.asarray(row_oh), jnp.asarray(col_oh),
+        jnp.asarray(rep), jnp.asarray(red), jnp.asarray(slots),
+        jnp.asarray(ones_e), jnp.asarray(pair_valid),
+    ]
+    in_specs = [const_spec(jnp.shape(x)) for x in inputs]
+
+    coords, overflow = pl.pallas_call(
+        kernel,
+        grid=(num_steps,),
+        out_shape=(
+            jax.ShapeDtypeStruct((num_steps, r_pad, 3), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, r_pad, 3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((t_len, r_pad, 3), jnp.float32),
+            pltpu.VMEM((e_cap, width * width), cd),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(*inputs)
+    return coords[:, :r], {"edge_overflow": overflow[0, 0] > 0}
+
+
+def make_persistent_rollout_fn(cfg, num_steps: int, threshold: float = 8.0,
+                               clip: float | None = None,
+                               interpret: bool | None = None,
+                               use_repeat: bool | None = None):
+    """Jitted wrapper mirroring ``make_rollout_fn``'s call shape
+    (params, aa, window0) -> (coords, final_window, diags).
+
+    ``use_repeat`` defaults to True on real TPUs (the tile-layout kernel
+    tensor + ``pltpu.repeat`` lane expansion: measured 28.0k steps/s vs
+    21.8k for the REP-matmul form and 20.0k for the XLA scan on one v5e,
+    bitwise-equal outputs) and False under interpret mode, whose repeat
+    semantics are unverified."""
+    if interpret is None:
+        interpret = not pallas_available()
+    if use_repeat is None:
+        use_repeat = not interpret
+
+    def fn(params, aa, window0):
+        coords, diags = persistent_rollout(
+            params, cfg, aa, window0, num_steps, threshold, clip,
+            interpret=interpret, use_repeat=use_repeat,
+        )
+        t = cfg.window_size
+        if num_steps >= t:
+            final_window = coords[-t:]
+        else:
+            final_window = jnp.concatenate(
+                [jnp.asarray(window0, jnp.float32)[num_steps:], coords],
+                axis=0,
+            )
+        return coords, final_window, diags
+
+    return jax.jit(fn)

@@ -150,18 +150,21 @@ def eval_epoch(params, eval_step, dataset, indices, batch_size, *,
     evaluate nothing. An empty evaluation returns NaN, not 0.0, so a
     meaningless loss can never become the "best" checkpoint."""
     from molecular_dynamics_neural_operator_tpu.data import batch_iterator
+    from molecular_dynamics_neural_operator_tpu.data.prefetch import (
+        prefetch_to_device,
+    )
 
-    total = {"rel_l2": 0.0, "mse": 0.0}
-    n = 0
-    for batch in batch_iterator(
-        dataset, indices, batch_size, shuffle=False, drop_last=drop_last,
+    acc = []
+    for batch in prefetch_to_device(
+        batch_iterator(dataset, indices, batch_size, shuffle=False,
+                       drop_last=drop_last),
+        size=2, put=put,
     ):
-        if put is not None:
-            batch = put(batch)
-        metrics = eval_step(params, batch)
-        total["rel_l2"] += float(metrics["rel_l2"])
-        total["mse"] += float(metrics["mse"])
-        n += 1
-    if n == 0:
-        return {k: float("nan") for k in total}
-    return {k: v / n for k, v in total.items()}
+        acc.append(eval_step(params, batch))
+    if not acc:
+        return {"rel_l2": float("nan"), "mse": float("nan")}
+    # materialize once — per-batch float() would sync the device each step
+    return {
+        k: sum(float(m[k]) for m in acc) / len(acc)
+        for k in ("rel_l2", "mse")
+    }

@@ -1,0 +1,79 @@
+"""Persistent grid-over-steps Pallas rollout vs the XLA scan (interpret
+mode on CPU; the perf claim is measured on the chip, the MATH is pinned
+here)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from molecular_dynamics_neural_operator_tpu.configs import ModelConfig
+from molecular_dynamics_neural_operator_tpu.data import synthetic_trajectory
+from molecular_dynamics_neural_operator_tpu.models import gkn_init
+from molecular_dynamics_neural_operator_tpu.ops.pallas.persistent_rollout import (
+    persistent_rollout,
+)
+from molecular_dynamics_neural_operator_tpu.rollout import rollout_scan
+
+
+def _cfg(**kw):
+    base = dict(width=16, ker_width=32, depth=2, window_size=4,
+                num_residues=12, max_edges=128, graph_mode="sparse",
+                compute_dtype="float32", predict_delta=True)
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+@pytest.mark.parametrize("r,predict_delta", [(12, True), (11, True),
+                                             (12, False)])
+def test_persistent_matches_scan(r, predict_delta):
+    """Same trajectory as the XLA rollout scan, including non-multiple-of-8
+    residue counts (pad rows must never contaminate the graph)."""
+    cfg = _cfg(num_residues=r, predict_delta=predict_delta)
+    params = gkn_init(jax.random.PRNGKey(0), cfg)
+    traj = synthetic_trajectory(num_frames=6, num_residues=r, seed=5)
+    aa = jnp.asarray(traj.aminoacids)
+    w0 = jnp.asarray(traj.positions[:4])
+
+    steps = 6
+    clip = 50.0 if not predict_delta else None
+    ref, _, ref_diags = jax.jit(
+        lambda p, a, w: rollout_scan(p, cfg, a, w, steps, clip=clip)
+    )(params, aa, w0)
+    got, diags = persistent_rollout(params, cfg, aa, w0, steps,
+                                    clip=clip, interpret=True)
+    assert got.shape == (steps, r, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    assert bool(diags["edge_overflow"]) == bool(ref_diags["edge_overflow"])
+
+
+def test_persistent_overflow_diagnostic():
+    """Capacity smaller than the real edge count must raise the overflow
+    flag (static shapes cannot error under jit)."""
+    cfg = _cfg(max_edges=16)  # far below the ~80 real contacts
+    params = gkn_init(jax.random.PRNGKey(0), cfg)
+    traj = synthetic_trajectory(num_frames=6, num_residues=12, seed=5)
+    _, diags = persistent_rollout(
+        params, cfg, jnp.asarray(traj.aminoacids),
+        jnp.asarray(traj.positions[:4]), 2, clip=100.0, interpret=True,
+    )
+    assert bool(diags["edge_overflow"])
+
+
+def test_persistent_fn_wrapper_final_window():
+    from molecular_dynamics_neural_operator_tpu.ops.pallas.persistent_rollout import (
+        make_persistent_rollout_fn,
+    )
+
+    cfg = _cfg()
+    params = gkn_init(jax.random.PRNGKey(1), cfg)
+    traj = synthetic_trajectory(num_frames=6, num_residues=12, seed=7)
+    aa = jnp.asarray(traj.aminoacids)
+    w0 = jnp.asarray(traj.positions[:4])
+    fn = make_persistent_rollout_fn(cfg, num_steps=6, interpret=True)
+    coords, final_w, _ = fn(params, aa, w0)
+    np.testing.assert_array_equal(np.asarray(final_w),
+                                  np.asarray(coords[-4:]))
