@@ -47,6 +47,17 @@ class ModelConfig:
     # "pallas" fuses the weight-tied conv stack into one TPU kernel;
     # "xla" is the pure jnp path (also the CPU-test path).
     conv_impl: str = "xla"
+    # Hand-written VJP for the weight-tied conv stack (ops/conv_stack.py):
+    # forms the kernel-tensor gradient in ONE contraction over the layer
+    # axis instead of 2*depth read-modify-write passes over a ~0.5 GB HBM
+    # accumulator. Math-equal to autodiff (pinned in tests); applies to the
+    # sparse one-hot path with tie_edge_kernel.
+    fused_conv_vjp: bool = True
+    # Rematerialize the edge-kernel MLP's hidden activations in the
+    # backward pass instead of saving them ((B, E, ker_width) x 2 — ~260 MB
+    # bf16 at B=128/E=256): trades ~0.4 ms of MXU recompute for that much
+    # HBM residency/traffic. Training-only knob; no effect on inference.
+    remat_edge_mlp: bool = False
     # Predict coordinate deltas (out = last_frame + head) instead of absolute
     # coordinates. Off by default for reference parity
     # (graph_kernel.py:305 predicts absolute positions); on, it keeps free

@@ -28,6 +28,7 @@ config access.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Union
 
 import jax
@@ -204,33 +205,50 @@ def gkn_apply_single(
             interpret=not fused_gkn.pallas_available(),
         )
     else:
-        kernels = edge_kernel_matrices(
-            params["edge_kernel"], graph.edge_feats, w, compute_dtype=cd
-        ).astype(cd)
+        kfn = functools.partial(edge_kernel_matrices, width=w,
+                                compute_dtype=cd)
+        if cfg.remat_edge_mlp:
+            kfn = jax.checkpoint(kfn)
+        kernels = kfn(params["edge_kernel"], graph.edge_feats)
         if cfg.tie_edge_kernel:
             kernels2 = kernels
         else:
-            kernels2 = edge_kernel_matrices(
-                kernel2_params, graph.edge_feats, w, compute_dtype=cd
-            ).astype(cd)
+            kernels2 = kfn(kernel2_params, graph.edge_feats)
         num_nodes = aa.shape[0]
         scatter = "onehot" if num_nodes <= 512 else "segment"
         inv_deg = sparse_inv_degree(graph.edges, graph.mask, num_nodes,
                                     scatter)
-        for _ in range(cfg.depth):
-            x = jax.nn.relu(
-                edge_conv_sparse(
-                    params["conv1"], x, kernels, graph.edges, graph.mask,
-                    inv_deg, scatter, cd,
-                )
+        if (cfg.fused_conv_vjp and cfg.tie_edge_kernel
+                and scatter == "onehot" and cfg.depth > 0):
+            # Hand-written VJP over the whole tied stack: one-pass
+            # kernel-tensor gradient (ops/conv_stack.py).
+            from molecular_dynamics_neural_operator_tpu.ops.conv_stack import (
+                tied_conv_stack,
             )
-        for _ in range(cfg.depth):
-            x = jax.nn.relu(
-                edge_conv_sparse(
-                    params["conv2"], x, kernels2, graph.edges, graph.mask,
-                    inv_deg, scatter, cd,
-                )
+
+            rng_nodes = jnp.arange(num_nodes)
+            g1h = (graph.edges[0][:, None] == rng_nodes[None, :]).astype(cd)
+            d1h = (graph.edges[1][:, None] == rng_nodes[None, :]).astype(cd)
+            x = tied_conv_stack(
+                cfg.depth, cd, x, kernels, g1h, d1h, graph.mask, inv_deg,
+                params["conv1"]["root"], params["conv1"]["bias"],
+                params["conv2"]["root"], params["conv2"]["bias"],
             )
+        else:
+            for _ in range(cfg.depth):
+                x = jax.nn.relu(
+                    edge_conv_sparse(
+                        params["conv1"], x, kernels, graph.edges, graph.mask,
+                        inv_deg, scatter, cd,
+                    )
+                )
+            for _ in range(cfg.depth):
+                x = jax.nn.relu(
+                    edge_conv_sparse(
+                        params["conv2"], x, kernels2, graph.edges,
+                        graph.mask, inv_deg, scatter, cd,
+                    )
+                )
 
     latent = x
     out = linear_apply(params["fc2"], x)

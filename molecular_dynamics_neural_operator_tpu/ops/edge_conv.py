@@ -58,10 +58,14 @@ def edge_kernel_matrices(
     """h_theta(e) for every edge, reshaped to per-edge (width, width) matrices.
 
     edge_feats: (..., F) where leading axes are edge axes — (R, R, 6) dense,
-    (E, 6) sparse. Returns (..., width, width) in f32.
-    """
+    (E, 6) sparse. Returns (..., width, width) in ``compute_dtype`` (f32 if
+    unset): the kernel tensor is the biggest live array of the training
+    step ((B, E, w, w) — ~270 MB bf16 at B=128/E=256) and an f32 round-trip
+    here doubles its HBM footprint for no accuracy gain (the consuming
+    einsums accumulate in f32 regardless)."""
     h = mlp_apply(mlp_params, edge_feats, compute_dtype=compute_dtype)
-    return h.reshape(edge_feats.shape[:-1] + (width, width)).astype(jnp.float32)
+    out_dtype = compute_dtype or jnp.float32
+    return h.reshape(edge_feats.shape[:-1] + (width, width)).astype(out_dtype)
 
 
 def edge_conv_dense(
