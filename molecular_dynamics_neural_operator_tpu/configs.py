@@ -47,6 +47,14 @@ class ModelConfig:
     # "pallas" fuses the weight-tied conv stack into one TPU kernel;
     # "xla" is the pure jnp path (also the CPU-test path).
     conv_impl: str = "xla"
+    # Batched conv-stack implementation for training/eval forwards
+    # (models/gkn.py::gkn_apply): "pallas" runs all 2*depth layers in one
+    # kernel per example with the kernel tensor VMEM-resident — it is
+    # otherwise re-read from HBM once per layer per pass, the training
+    # step's bandwidth bound (ops/pallas/train_conv.py, fwd AND bwd).
+    # "xla" is the portable default; requires tie_edge_kernel, sparse
+    # graphs, and a real TPU.
+    train_conv_impl: str = "xla"
     # Hand-written VJP for the weight-tied conv stack (ops/conv_stack.py):
     # forms the kernel-tensor gradient in ONE contraction over the layer
     # axis instead of 2*depth read-modify-write passes over a ~0.5 GB HBM

@@ -268,8 +268,69 @@ def gkn_apply(
     batch: GKNBatch,
     return_latent: bool = False,
 ):
-    """Batched forward via vmap over the batch axis of window and graph."""
+    """Batched forward via vmap over the batch axis of window and graph.
+
+    With ``train_conv_impl="pallas"`` (sparse + tied, TPU) the conv stack
+    instead runs as one batched Pallas kernel with the per-edge kernel
+    tensor VMEM-resident across all 2*depth layers — forward and backward
+    (ops/pallas/train_conv.py)."""
+    if (cfg.train_conv_impl == "pallas"
+            and isinstance(batch.graph, SparseGraph)
+            and cfg.tie_edge_kernel and cfg.depth > 0):
+        return _gkn_apply_pallas_batched(params, cfg, batch, return_latent)
     fn = lambda window, graph: gkn_apply_single(
         params, cfg, batch.aa, window, graph, return_latent
     )
     return jax.vmap(fn)(batch.window, batch.graph)
+
+
+def _gkn_apply_pallas_batched(params, cfg: ModelConfig, batch: GKNBatch,
+                              return_latent: bool):
+    from molecular_dynamics_neural_operator_tpu.ops.mlp import mlp_apply
+    from molecular_dynamics_neural_operator_tpu.ops.pallas.train_conv import (
+        kernel_permutation,
+        pallas_available,
+        pallas_tied_conv_stack,
+    )
+
+    cd = _compute_dtype(cfg)
+    graph: SparseGraph = batch.graph
+    x = jax.vmap(
+        lambda window: _encode_nodes(params, cfg, batch.aa, window)
+    )(batch.window)                                        # (B, R, w)
+    w = cfg.width
+    r = batch.aa.shape[0]
+
+    # kernel tensor straight in the TILE layout (column-permuted last MLP
+    # layer; autodiff through the gather handles the weight gradient),
+    # pre-masked so the kernel never needs the mask.
+    perm = kernel_permutation(w)
+    mlp = params["edge_kernel"]
+    mlp_perm = {
+        **mlp,
+        "layer_2": {"w": mlp["layer_2"]["w"][:, perm],
+                    "b": mlp["layer_2"]["b"][perm]},
+    }
+    kt = mlp_apply(mlp_perm, graph.edge_feats, compute_dtype=cd).astype(cd)
+    kt = kt * graph.mask[..., None].astype(cd)             # (B, E, w^2)
+
+    rng_nodes = jnp.arange(r)
+    g1h = (graph.edges[:, 0, :, None] == rng_nodes).astype(cd)  # (B, E, R)
+    d1h = (graph.edges[:, 1, :, None] == rng_nodes).astype(cd)
+    inv_deg = jax.vmap(
+        lambda e, m: sparse_inv_degree(e, m, r, "onehot")
+    )(graph.edges, graph.mask)[..., None]                  # (B, R, 1)
+
+    x = pallas_tied_conv_stack(
+        cfg.depth, cfg.compute_dtype, True, not pallas_available(),
+        x, kt, g1h, d1h, inv_deg,
+        params["conv1"]["root"], params["conv1"]["bias"],
+        params["conv2"]["root"], params["conv2"]["bias"],
+    )
+    latent = x
+    out = jax.vmap(lambda xx: linear_apply(params["fc2"], xx))(x)
+    if cfg.predict_delta:
+        out = out + batch.window[:, -1]
+    if return_latent:
+        return out, latent
+    return out
