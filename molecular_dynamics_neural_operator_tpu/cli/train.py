@@ -49,6 +49,10 @@ def parse_args(argv=None):
                         "(dataset.py:108 ntrain cap)")
     p.add_argument("--rollout_steps", type=int, default=0,
                    help="K>0 enables the K-step rollout curriculum loss")
+    p.add_argument("--coord_clip", type=float, default=1000.0,
+                   help="clip rail on the curriculum's inner rollout "
+                        "coordinates (0 disables; essential for bf16 "
+                        "curriculum stability)")
     p.add_argument("--grad_clip_norm", type=float, default=None,
                    help="global-norm gradient clipping (default: 1.0 when "
                         "the curriculum is on, else off)")
@@ -365,6 +369,7 @@ def main(argv=None):
             make_curriculum_train_step,
         )
 
+        coord_clip = args.coord_clip if args.coord_clip > 0 else None
         if data_parallel:
             from molecular_dynamics_neural_operator_tpu.parallel import (
                 make_sharded_curriculum_train_step,
@@ -373,22 +378,19 @@ def main(argv=None):
             mesh = make_mesh()
             train_step, put = make_sharded_curriculum_train_step(
                 model_cfg, tx, mesh, rollout_steps=train_cfg.rollout_steps,
-                threshold=data_cfg.threshold,
+                threshold=data_cfg.threshold, coord_clip=coord_clip,
             )
             print(f"Data-parallel curriculum: batch sharded over "
                   f"{mesh.shape['data']} devices")
         else:
             train_step = make_curriculum_train_step(
                 model_cfg, tx, rollout_steps=train_cfg.rollout_steps,
-                threshold=data_cfg.threshold,
+                threshold=data_cfg.threshold, coord_clip=coord_clip,
             )
         print(f"Curriculum training: K={train_cfg.rollout_steps} rollout "
               f"steps in the loss (grad_clip={train_cfg.grad_clip_norm}, "
-              f"skip_nonfinite={train_cfg.skip_nonfinite_updates})")
-        if args.compute_dtype == "bfloat16":
-            print("WARNING: bf16 curriculum training can destabilize; "
-                  "--compute_dtype float32 is the validated recipe "
-                  "(tools/accuracy_eval.py)")
+              f"skip_nonfinite={train_cfg.skip_nonfinite_updates}, "
+              f"coord_clip={coord_clip})")
     elif data_parallel:
         mesh = make_mesh()
         train_step, put = make_sharded_train_step(model_cfg, tx, mesh)

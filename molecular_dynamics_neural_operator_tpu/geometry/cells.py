@@ -84,7 +84,12 @@ def cell_list_edges(
     table = jnp.full((num_cells * cell_capacity,), -1, jnp.int32)
     table = table.at[slots].set(order.astype(jnp.int32), mode="drop")
 
-    # --- candidates: 27 neighbor cells x cell_capacity per atom
+    # --- candidates: 27 neighbor cells x cell_capacity per atom.
+    # Gathers run at BUCKET-ROW granularity: the atom table and its
+    # positions are materialized as (num_cells, C[, 3]) ONCE, and each
+    # (atom, offset) pulls one contiguous C-wide row — 27N block gathers
+    # instead of 27NC scalar gathers (the rebuild's former hot spot, ~60%
+    # of its time at 10k atoms).
     offsets = _neighbor_offsets()  # (27, 3)
     nbr_cells = cid[:, None, :] + offsets[None, :, :]  # (N, 27, 3)
     nbr_hash = _hash_cells(nbr_cells, num_cells)  # (N, 27)
@@ -96,15 +101,13 @@ def cell_list_edges(
         & (jnp.arange(27)[None, :, None] > jnp.arange(27)[None, None, :]),
         axis=-1,
     )  # (N, 27)
-    cand_slots = (
-        nbr_hash[..., None] * cell_capacity
-        + jnp.arange(cell_capacity)[None, None, :]
-    ).reshape(n, -1)  # (N, 27*C)
-    cand = table[cand_slots]  # (N, 27*C) atom indices or -1
+    table2 = table.reshape(num_cells, cell_capacity)
+    table_pos = pos[jnp.maximum(table2, 0)]  # (num_cells, C, 3) one gather
+    cand = table2[nbr_hash].reshape(n, -1)   # (N, 27*C) atom idx or -1
+    cand_pos = table_pos[nbr_hash].reshape(n, -1, 3)  # (N, 27*C, 3)
     bucket_ok = jnp.repeat(~bucket_dup, cell_capacity, axis=1)  # (N, 27*C)
 
-    # --- distance filter (gather candidate positions; -1 -> atom 0, masked)
-    cand_pos = pos[jnp.maximum(cand, 0)]  # (N, 27*C, 3)
+    # --- distance filter (empty slots carry pos[0]; masked by cand >= 0)
     d2 = jnp.sum((cand_pos - pos[:, None, :]) ** 2, axis=-1)
     valid = (cand >= 0) & bucket_ok & (d2 < cutoff * cutoff)
 

@@ -113,6 +113,7 @@ def make_sharded_curriculum_train_step(
     threshold: float = 8.0,
     step_weights=None,
     graph_frame: str = "first",
+    coord_clip=None,
 ):
     """Data-parallel K-step rollout-curriculum training step — the flagship
     recipe (tools/accuracy_eval.py) on many chips.
@@ -139,6 +140,7 @@ def make_sharded_curriculum_train_step(
     step = make_curriculum_train_step(
         cfg, tx, rollout_steps=rollout_steps, threshold=threshold,
         step_weights=step_weights, graph_frame=graph_frame,
+        coord_clip=coord_clip,
     )
 
     def put(host_batch: dict) -> dict:

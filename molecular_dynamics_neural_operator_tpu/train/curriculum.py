@@ -45,11 +45,20 @@ def curriculum_loss_single(
     y_seq,
     threshold: float = 8.0,
     step_weights: Optional[Sequence[float]] = None,
+    coord_clip: Optional[float] = None,
 ):
     """K-step rollout loss for one example.
 
     window: (T, R, 3); graph0: stored graph of the window's first frame;
     y_seq: (K, R, 3) ground-truth continuation. Returns (loss, last_pred).
+
+    ``coord_clip`` bounds the coordinates fed back through the K-step
+    unroll — the same safety rail the inference scan has. Without it an
+    early-training model can push the inner rollout to inf within K steps
+    and inf - inf poisons the loss with NaN (the bf16 curriculum's
+    round-1 divergence mode). Clipped coordinates carry zero gradient
+    outside the rail, so a diverging unroll contributes a large-but-finite
+    loss instead of destroying the step.
     """
     k = y_seq.shape[0]
     weights = (
@@ -65,13 +74,15 @@ def curriculum_loss_single(
     sq_err = jnp.sum((out - y_seq[0]) ** 2)
 
     if k > 1:
+        if coord_clip is not None:
+            out = jnp.clip(out, -coord_clip, coord_clip)
         window = jnp.concatenate([window[1:], out[None]], axis=0)
 
         def body(carry, inputs):
             window, loss, sq = carry
             y_true, w = inputs
             new_window, out, _ = rollout_step(
-                params, cfg, aa, window, threshold, "last"
+                params, cfg, aa, window, threshold, "last", clip=coord_clip
             )
             loss = loss + w * _example_rel(out, y_true)
             sq = sq + jnp.sum((out - y_true) ** 2)
@@ -90,16 +101,18 @@ def make_curriculum_train_step(
     threshold: float = 8.0,
     step_weights: Optional[Sequence[float]] = None,
     graph_frame: str = "first",
+    coord_clip: Optional[float] = None,
 ):
     """Jitted (state, host_batch) -> (state, metrics). The host batch must
     carry ``y_seq`` (B, K, R, 3) (``WindowDataset.get_batch(...,
-    rollout_horizon=K)``)."""
+    rollout_horizon=K)``). ``coord_clip`` bounds the inner free-rollout
+    coordinates (essential for bf16 curriculum stability)."""
 
     def loss_fn(params, batch):
         gbatch = featurize_batch(cfg, batch, graph_frame)
         fn = lambda window, graph, y_seq: curriculum_loss_single(
             params, cfg, gbatch.aa, window, graph, y_seq, threshold,
-            step_weights,
+            step_weights, coord_clip,
         )
         losses, mses = jax.vmap(fn)(gbatch.window, gbatch.graph,
                                     batch["y_seq"])

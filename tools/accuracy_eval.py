@@ -40,21 +40,36 @@ def main():
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--dtype", default="float32")
+    p.add_argument("--grad_clip", type=float, default=1.0)
+    p.add_argument("--coord_clip", type=float, default=1000.0,
+                   help="clip rail on the curriculum's inner rollout "
+                        "coordinates (0 disables)")
+    p.add_argument("--warmup_frac", type=float, default=0.25,
+                   help="fraction of steps trained teacher-forced (K=1) "
+                        "before switching to K")
+    p.add_argument("--max_edges", type=int, default=512)
+    p.add_argument("--train_conv_impl", default="xla",
+                   choices=["xla", "pallas"])
     args = p.parse_args()
 
     traj = synthetic_trajectory(num_frames=args.frames, num_residues=28, seed=11)
     cfg = ModelConfig(compute_dtype=args.dtype, graph_mode="sparse",
-                      max_edges=512, predict_delta=True)
+                      max_edges=args.max_edges, predict_delta=True,
+                      train_conv_impl=args.train_conv_impl)
     tcfg = TrainConfig(lr=args.lr, weight_decay=1e-6, batch_size=args.batch,
-                       grad_clip_norm=1.0, skip_nonfinite_updates=True)
+                       grad_clip_norm=args.grad_clip,
+                       skip_nonfinite_updates=True)
     ds = WindowDataset(traj, window_size=cfg.window_size,
-                       graph_mode="sparse", max_edges=512)
+                       graph_mode="sparse", max_edges=args.max_edges)
     tr_idx, va_idx = train_valid_split(len(ds), 0.8, "partition")
     state, tx, _ = create_train_state(jax.random.PRNGKey(0), cfg, tcfg,
                                       steps_per_epoch=len(tr_idx)//args.batch)
-    step_k1 = make_curriculum_train_step(cfg, tx, rollout_steps=1)
-    step_k = make_curriculum_train_step(cfg, tx, rollout_steps=args.k)
-    warmup = max(200, args.steps // 4)
+    cc = args.coord_clip if args.coord_clip > 0 else None
+    step_k1 = make_curriculum_train_step(cfg, tx, rollout_steps=1,
+                                         coord_clip=cc)
+    step_k = make_curriculum_train_step(cfg, tx, rollout_steps=args.k,
+                                        coord_clip=cc)
+    warmup = max(200, int(args.steps * args.warmup_frac))
 
     t0 = time.time()
     seen = 0
