@@ -116,6 +116,17 @@ def main(argv=None):
     movie = render_propagation_movie(out, 0, fc, real)
     print(f"movie: {movie}")
 
+    # 3-D backbone render (notebook cell 31 parity, plotly-free)
+    from molecular_dynamics_neural_operator_tpu.utils.backbone import (
+        render_backbone_trajectory,
+    )
+
+    bb = render_backbone_trajectory(
+        out, [coords[i] for i in range(min(k, 8))],
+        [traj.positions[truth_lo + i] for i in range(min(k, 8))],
+    )
+    print(f"backbone: {bb.get('movie', bb.get('html', ''))}")
+
     # per-step MSE curve
     try:
         import matplotlib

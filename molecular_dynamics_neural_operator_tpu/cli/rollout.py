@@ -48,6 +48,9 @@ def parse_args(argv=None):
                         "TPU; sparse graph semantics, requires "
                         "tie_edge_kernel)")
     p.add_argument("--movie", action="store_true")
+    p.add_argument("--backbone", action="store_true",
+                   help="render 3-D backbone frames of the first rollout "
+                        "steps (bba_analysis.ipynb cell 31 parity)")
     return p.parse_args(argv)
 
 
@@ -173,6 +176,18 @@ def main(argv=None):
             for i in range(min(n, traj.num_frames - truth_lo))
         ]
         render_propagation_movie(out_dir, 0, fc, real[: len(fc)])
+
+    if args.backbone:
+        from molecular_dynamics_neural_operator_tpu.utils.backbone import (
+            render_backbone_trajectory,
+        )
+
+        n = min(args.num_steps, 8)
+        real_bb = None
+        if have_truth:
+            real_bb = [traj.positions[truth_lo + i] for i in range(n)]
+        render_backbone_trajectory(out_dir, [coords[i] for i in range(n)],
+                                   real_bb)
     return summary
 
 

@@ -184,6 +184,23 @@ def test_metric_logger_rich_wandb_artifacts(tmp_path):
     assert rows[0]["movie"].endswith("m.gif")
 
 
+def test_backbone_3d_render(tmp_path):
+    """3-D backbone renderer (notebook cell 31 parity): per-frame PNGs,
+    stitched movie, embeddable HTML."""
+    from molecular_dynamics_neural_operator_tpu.utils.backbone import (
+        render_backbone_trajectory,
+    )
+
+    rng = np.random.default_rng(2)
+    chain = np.cumsum(rng.normal(size=(5, 14, 3)), axis=1).astype(np.float32)
+    out = render_backbone_trajectory(tmp_path, list(chain), list(chain))
+    assert len(out["frames"]) == 5
+    if out["frames"][0].suffix == ".png":  # matplotlib present
+        assert "html" in out
+        assert "data:image/png;base64," in out["html"].read_text()
+        assert out["movie"].suffix in (".gif", ".mp4")
+
+
 def test_movie_renders(tmp_path):
     from molecular_dynamics_neural_operator_tpu.utils.movie import (
         render_propagation_movie,
