@@ -108,9 +108,12 @@ def build_configs(args):
                 pallas_available,
             )
 
+            # pallas_call does not auto-partition under sharding
+            # propagation, so the data-parallel step keeps the XLA stack.
             train_conv_impl = (
                 "pallas"
                 if pallas_available() and args.graph_mode == "sparse"
+                and not args.data_parallel
                 else "xla"
             )
         except Exception:

@@ -94,6 +94,82 @@ def curriculum_loss_single(
     return loss, sq_err / (k * y_seq.shape[-2] * y_seq.shape[-1])
 
 
+def curriculum_loss_batched(
+    params,
+    cfg: ModelConfig,
+    gbatch,
+    y_seq,
+    threshold: float = 8.0,
+    step_weights: Optional[Sequence[float]] = None,
+    coord_clip: Optional[float] = None,
+):
+    """Whole-batch K-step curriculum loss: ONE scan over rollout steps with
+    batched graph rebuild and the batched forward — so the Pallas training
+    conv stack (train_conv_impl="pallas") applies inside the curriculum
+    too, where the vmapped per-example formulation could not route to it.
+    Same math as ``curriculum_loss_single`` summed over the batch.
+
+    y_seq: (B, K, R, 3). Returns (summed loss, mean mse)."""
+    from molecular_dynamics_neural_operator_tpu.models import (
+        GKNBatch,
+        gkn_apply,
+    )
+    from molecular_dynamics_neural_operator_tpu.rollout.scan import (
+        _build_graph,
+    )
+
+    b, k = y_seq.shape[0], y_seq.shape[1]
+    weights = (
+        jnp.asarray(step_weights, jnp.float32)
+        if step_weights is not None
+        else jnp.ones((k,), jnp.float32)
+    )
+    weights = weights / jnp.sum(weights)
+
+    def rel(pred, truth):  # per-example relative L2 -> (B,)
+        diff = jnp.sqrt(jnp.sum((pred - truth) ** 2, axis=(1, 2)))
+        denom = jnp.sqrt(jnp.sum(truth ** 2, axis=(1, 2)))
+        return diff / denom
+
+    # Step 1: teacher-semantics stored graph.
+    out = gkn_apply(params, cfg, gbatch)
+    loss_vec = weights[0] * rel(out, y_seq[:, 0])
+    sq = jnp.sum((out - y_seq[:, 0]) ** 2, axis=(1, 2))
+
+    if k > 1:
+        if coord_clip is not None:
+            out = jnp.clip(out, -coord_clip, coord_clip)
+        window = jnp.concatenate([gbatch.window[:, 1:], out[:, None]],
+                                 axis=1)
+
+        def body(carry, inputs):
+            window, loss_vec, sq = carry
+            y_t, w = inputs  # (B, R, 3), scalar
+            frame = window[:, -1]
+            graph, _ = jax.vmap(
+                lambda f: _build_graph(cfg, f, threshold)
+            )(frame)
+            out = gkn_apply(
+                params, cfg,
+                GKNBatch(aa=gbatch.aa, window=window, graph=graph,
+                         y=y_t),
+            )
+            if coord_clip is not None:
+                out = jnp.clip(out, -coord_clip, coord_clip)
+            loss_vec = loss_vec + w * rel(out, y_t)
+            sq = sq + jnp.sum((out - y_t) ** 2, axis=(1, 2))
+            new_window = jnp.concatenate([window[:, 1:], out[:, None]],
+                                         axis=1)
+            return (new_window, loss_vec, sq), None
+
+        y_steps = jnp.swapaxes(y_seq, 0, 1)  # (K, B, R, 3)
+        (window, loss_vec, sq), _ = jax.lax.scan(
+            body, (window, loss_vec, sq), (y_steps[1:], weights[1:])
+        )
+    r3 = y_seq.shape[-2] * y_seq.shape[-1]
+    return jnp.sum(loss_vec), jnp.mean(sq / (k * r3))
+
+
 def make_curriculum_train_step(
     cfg: ModelConfig,
     tx,
@@ -110,14 +186,10 @@ def make_curriculum_train_step(
 
     def loss_fn(params, batch):
         gbatch = featurize_batch(cfg, batch, graph_frame)
-        fn = lambda window, graph, y_seq: curriculum_loss_single(
-            params, cfg, gbatch.aa, window, graph, y_seq, threshold,
-            step_weights, coord_clip,
+        return curriculum_loss_batched(
+            params, cfg, gbatch, batch["y_seq"], threshold, step_weights,
+            coord_clip,
         )
-        losses, mses = jax.vmap(fn)(gbatch.window, gbatch.graph,
-                                    batch["y_seq"])
-        # sum over batch (LpLoss(size_average=False) convention)
-        return jnp.sum(losses), jnp.mean(mses)
 
     @jax.jit
     def step(state: TrainState, batch):

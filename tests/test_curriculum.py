@@ -78,3 +78,51 @@ def test_horizon_bounds_respected():
 
     with pytest.raises(ValueError, match="rollout_horizon"):
         ds.get_batch([len(ds) - 1], rollout_horizon=5)
+
+
+def test_batched_curriculum_matches_per_example():
+    """curriculum_loss_batched == vmapped curriculum_loss_single (the
+    round-1 formulation) on the same batch."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from molecular_dynamics_neural_operator_tpu.configs import ModelConfig
+    from molecular_dynamics_neural_operator_tpu.data import (
+        WindowDataset,
+        synthetic_trajectory,
+    )
+    from molecular_dynamics_neural_operator_tpu.models import gkn_init
+    from molecular_dynamics_neural_operator_tpu.train.curriculum import (
+        curriculum_loss_batched,
+        curriculum_loss_single,
+    )
+    from molecular_dynamics_neural_operator_tpu.train.loop import (
+        featurize_batch,
+    )
+
+    cfg = ModelConfig(width=16, ker_width=32, depth=2, window_size=4,
+                      num_residues=12, max_edges=128, graph_mode="sparse",
+                      compute_dtype="float32", predict_delta=True)
+    params = gkn_init(jax.random.PRNGKey(0), cfg)
+    traj = synthetic_trajectory(num_frames=24, num_residues=12, seed=3)
+    ds = WindowDataset(traj, window_size=4, graph_mode="sparse",
+                       max_edges=128)
+    batch = {k: jnp.asarray(v) for k, v in
+             ds.get_batch(np.arange(5), rollout_horizon=3).items()}
+    gbatch = featurize_batch(cfg, batch)
+
+    loss_b, mse_b = jax.jit(
+        lambda p: curriculum_loss_batched(p, cfg, gbatch, batch["y_seq"],
+                                          coord_clip=50.0)
+    )(params)
+
+    fn = lambda w, g, y: curriculum_loss_single(
+        params, cfg, gbatch.aa, w, g, y, 8.0, None, 50.0)
+    losses, mses = jax.jit(
+        lambda: jax.vmap(fn)(gbatch.window, gbatch.graph, batch["y_seq"])
+    )()
+    np.testing.assert_allclose(float(loss_b), float(jnp.sum(losses)),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(mse_b), float(jnp.mean(mses)),
+                               rtol=1e-5)
