@@ -108,12 +108,11 @@ def build_configs(args):
                 pallas_available,
             )
 
-            # pallas_call does not auto-partition under sharding
-            # propagation, so the data-parallel step keeps the XLA stack.
+            # (under --data_parallel the sharded factories wrap the step
+            # in an explicit shard_map, so the Pallas stack still applies)
             train_conv_impl = (
                 "pallas"
                 if pallas_available() and args.graph_mode == "sparse"
-                and not args.data_parallel
                 else "xla"
             )
         except Exception:

@@ -66,6 +66,52 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
     return out
 
 
+def _make_shardmapped_step(cfg, tx, mesh, loss_fn, data_axis="data"):
+    """Explicit-shard_map data-parallel step for loss functions containing
+    ``pallas_call`` (which sharding propagation cannot partition): each
+    device runs the kernel on its local batch shard, gradients all-reduce
+    with an explicit psum, and the (replicated) optimizer update happens
+    outside the sharded region. ``loss_fn(params, batch_dict) ->
+    (batch-sum loss, aux_mse)``."""
+    from functools import partial as _partial
+
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+    # annotation, which the checker requires; the collectives here are
+    # explicit (psum/pmean) so the check adds nothing.
+    @_partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(data_axis)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    def grads_fn(params, aa, rest):
+        batch = {"aa": aa, **rest}
+        (l2, m), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch
+        )
+        grads = jax.lax.psum(grads, data_axis)
+        l2 = jax.lax.psum(l2, data_axis)
+        m = jax.lax.pmean(m, data_axis)
+        return l2, m, grads
+
+    def step(state: TrainState, batch: dict):
+        rest = {k: v for k, v in batch.items() if k != "aa"}
+        l2, m, grads = grads_fn(state.params, batch["aa"], rest)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                        state.params, updates)
+        new_state = TrainState(params, opt_state, state.step + 1, state.rng)
+        return new_state, {"rel_l2": l2, "mse": m}
+
+    step_jit = jax.jit(step, donate_argnums=(0,))
+
+    def put(host_batch: dict) -> dict:
+        return shard_batch(mesh, host_batch)
+
+    return step_jit, put
+
+
 def make_sharded_train_step(
     cfg: ModelConfig,
     tx,
@@ -74,11 +120,21 @@ def make_sharded_train_step(
 ):
     """Data-parallel train step: params/opt-state replicated, batch sharded
     over the "data" mesh axis. The batch-sum loss makes gradients a psum,
-    which XLA inserts from the sharding annotations alone.
+    which XLA inserts from the sharding annotations alone — except with
+    ``train_conv_impl="pallas"``, where the step wraps in an explicit
+    shard_map so each device runs the Pallas conv stack on its local
+    shard.
 
     Returns (step_fn, put_fn): call ``put_fn(host_batch)`` then
     ``step_fn(state, device_batch)``.
     """
+    if cfg.train_conv_impl == "pallas":
+        def loss(params, batch):
+            gbatch = featurize_batch(cfg, batch, graph_frame)
+            l2, (m, _) = _loss_fn(params, cfg, gbatch)
+            return l2, m
+
+        return _make_shardmapped_step(cfg, tx, mesh, loss)
     def step(state: TrainState, batch: dict):
         gbatch = featurize_batch(cfg, batch, graph_frame)
         (l2, (m, _)), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
@@ -134,8 +190,19 @@ def make_sharded_curriculum_train_step(
     by the "data" axis size.
     """
     from molecular_dynamics_neural_operator_tpu.train.curriculum import (
+        curriculum_loss_batched,
         make_curriculum_train_step,
     )
+
+    if cfg.train_conv_impl == "pallas":
+        def loss(params, batch):
+            gbatch = featurize_batch(cfg, batch, graph_frame)
+            return curriculum_loss_batched(
+                params, cfg, gbatch, batch["y_seq"], threshold,
+                step_weights, coord_clip,
+            )
+
+        return _make_shardmapped_step(cfg, tx, mesh, loss)
 
     step = make_curriculum_train_step(
         cfg, tx, rollout_steps=rollout_steps, threshold=threshold,
