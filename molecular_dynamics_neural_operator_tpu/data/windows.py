@@ -207,10 +207,16 @@ def batch_iterator(
     seed: int = 0,
     epoch: int = 0,
     rollout_horizon: int = 0,
+    pad_last: bool = False,
 ) -> Iterator[dict]:
     """Deterministic shuffled batch stream (epoch folds into the seed).
     With ``rollout_horizon=K``, indices whose K-step continuation would run
-    past the trajectory are dropped and batches carry ``y_seq``."""
+    past the trajectory are dropped and batches carry ``y_seq``.
+
+    ``pad_last=True`` (with ``drop_last=False``) pads the remainder batch
+    up to ``batch_size`` by repeating its last index and attaches a ``w``
+    (B,) 0/1 weight vector — every batch then has the SAME static shape,
+    so evaluation never recompiles for the remainder."""
     indices = np.asarray(indices, np.int64)
     if rollout_horizon > 0:
         limit = (
@@ -223,5 +229,15 @@ def batch_iterator(
     n = len(indices)
     end = n - (n % batch_size) if drop_last else n
     for i in range(0, end, batch_size):
-        yield dataset.get_batch(indices[i : i + batch_size],
-                                rollout_horizon=rollout_horizon)
+        idx = indices[i : i + batch_size]
+        real = len(idx)
+        if pad_last and real < batch_size and real > 0:
+            idx = np.concatenate(
+                [idx, np.full(batch_size - real, idx[-1], np.int64)]
+            )
+        batch = dataset.get_batch(idx, rollout_horizon=rollout_horizon)
+        if pad_last:
+            w = np.zeros((len(idx),), np.float32)
+            w[:real] = 1.0
+            batch["w"] = w
+        yield batch

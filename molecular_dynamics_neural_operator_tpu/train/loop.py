@@ -88,9 +88,26 @@ def make_train_step(cfg: ModelConfig, tx, graph_frame: str = "first",
 
 
 def make_eval_step(cfg: ModelConfig, graph_frame: str = "first"):
+    """Eval step honoring an optional per-example 0/1 weight vector
+    ``batch["w"]`` (batch_iterator's ``pad_last``): padded duplicate rows
+    contribute nothing, so every eval batch shares one static shape and
+    the remainder batch never triggers a recompile."""
+    import jax.numpy as jnp
+
     def step(params, batch: dict):
         gbatch = featurize_batch(cfg, batch, graph_frame)
-        l2, (m, out) = _loss_fn(params, cfg, gbatch)
+        out = gkn_apply(params, cfg, gbatch)
+        b = out.shape[0]
+        w = batch.get("w")
+        if w is None:
+            w = jnp.ones((b,), jnp.float32)
+        diff = (out - gbatch.y).reshape(b, -1)
+        truth = gbatch.y.reshape(b, -1)
+        per_rel = jnp.linalg.norm(diff, axis=1) / jnp.linalg.norm(truth,
+                                                                  axis=1)
+        l2 = jnp.sum(per_rel * w)  # LpLoss(size_average=False) convention
+        per_sq = jnp.sum(diff * diff, axis=1)
+        m = jnp.sum(per_sq * w) / (jnp.sum(w) * diff.shape[1])
         return {"rel_l2": l2, "mse": m}
 
     return jax.jit(step)
@@ -157,7 +174,7 @@ def eval_epoch(params, eval_step, dataset, indices, batch_size, *,
     acc = []
     for batch in prefetch_to_device(
         batch_iterator(dataset, indices, batch_size, shuffle=False,
-                       drop_last=drop_last),
+                       drop_last=drop_last, pad_last=not drop_last),
         size=2, put=put,
     ):
         acc.append(eval_step(params, batch))

@@ -112,3 +112,53 @@ def test_train_valid_split_methods():
     assert sorted(np.concatenate([tr_r, va_r]).tolist()) == list(range(100))
     with pytest.raises(ValueError):
         train_valid_split(10, 0.8, "bogus")
+
+
+def test_eval_remainder_padding_single_shape():
+    """pad_last gives every eval batch one static shape (no remainder
+    recompile) and weighted metrics equal to the unpadded computation."""
+    import jax
+    import jax.numpy as jnp
+
+    from molecular_dynamics_neural_operator_tpu.configs import (
+        ModelConfig,
+        TrainConfig,
+    )
+    from molecular_dynamics_neural_operator_tpu.data import (
+        WindowDataset,
+        batch_iterator,
+        synthetic_trajectory,
+    )
+    from molecular_dynamics_neural_operator_tpu.train import (
+        create_train_state,
+        make_eval_step,
+    )
+    from molecular_dynamics_neural_operator_tpu.train.loop import eval_epoch
+
+    cfg = ModelConfig(width=8, ker_width=16, depth=1, window_size=3,
+                      num_residues=10, compute_dtype="float32")
+    traj = synthetic_trajectory(num_frames=20, num_residues=10, seed=5)
+    ds = WindowDataset(traj, window_size=3)
+    state, _, _ = create_train_state(jax.random.PRNGKey(0), cfg,
+                                     TrainConfig())
+    idx = np.arange(10)  # batch 4 -> batches of 4, 4, and remainder 2
+
+    shapes = set()
+    for b in batch_iterator(ds, idx, 4, shuffle=False, drop_last=False,
+                            pad_last=True):
+        shapes.add(b["window"].shape)
+        assert b["w"].shape == (4,)
+    assert len(shapes) == 1  # one static shape -> one compile
+
+    step = make_eval_step(cfg)
+    m_pad = eval_epoch(state.params, step, ds, idx, 4, drop_last=False)
+
+    # oracle: unpadded batches, remainder computed at its true size
+    tot = {"rel_l2": 0.0, "mse": 0.0}
+    nb = 0
+    for b in batch_iterator(ds, idx, 4, shuffle=False, drop_last=False):
+        m = step(state.params, {k: jnp.asarray(v) for k, v in b.items()})
+        tot["rel_l2"] += float(m["rel_l2"]); tot["mse"] += float(m["mse"])
+        nb += 1
+    for k in tot:
+        np.testing.assert_allclose(m_pad[k], tot[k] / nb, rtol=1e-5)
