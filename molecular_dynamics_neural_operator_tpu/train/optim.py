@@ -52,5 +52,11 @@ def make_optimizer(
     ]
     tx = optax.chain(*parts)
     if skip_nonfinite_updates:
-        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+        # NOTE: after max_consecutive_errors consecutive non-finite
+        # gradients optax gives up and APPLIES the poisoned update — at the
+        # old value of 100 a transiently-unstable run was guaranteed to
+        # destroy its parameters ~100 steps after the first bad gradient.
+        # A large bound keeps the protection effectively permanent; a stall
+        # still surfaces as NaN losses in the metrics.
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=100_000)
     return tx, schedule

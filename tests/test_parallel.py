@@ -117,6 +117,23 @@ def test_edge_sharded_train_step_matches_single_device(sparse_cfg):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_edge_sharded_forward_with_electrostatics(sparse_cfg):
+    """The dh electrostatic node feature composes with edge-axis model
+    parallelism (the potential is node-local, replicated per shard)."""
+    cfg = dataclasses.replace(sparse_cfg, electrostatics="dh")
+    params = gkn_init(jax.random.PRNGKey(0), cfg)
+    aa, pos, edges, mask, ef, y = _sparse_inputs(cfg)
+    ref = gkn_apply(
+        params, cfg,
+        GKNBatch(aa, pos, SparseGraph(edges, mask, ef), y),
+    )
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    fwd = jax.jit(make_edge_sharded_forward(cfg, mesh))
+    out = fwd(params, aa, pos, edges, mask, ef)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_data_parallel_train_step_runs_sharded(sparse_cfg):
     cfg = dataclasses.replace(sparse_cfg, graph_mode="dense")
     tcfg = TrainConfig(lr=1e-3, batch_size=8)
