@@ -47,6 +47,12 @@ def parse_args(argv=None):
                         "VMEM-resident weights (fastest single stream on "
                         "TPU; sparse graph semantics, requires "
                         "tie_edge_kernel)")
+    p.add_argument("--streams", type=int, default=1,
+                   help=">1 rolls that many streams batched (start frames "
+                        "spaced --stream_stride apart); combine with "
+                        "--stream_chunk to bound memory at high counts")
+    p.add_argument("--stream_stride", type=int, default=1)
+    p.add_argument("--stream_chunk", type=int, default=None)
     p.add_argument("--movie", action="store_true")
     p.add_argument("--backbone", action="store_true",
                    help="render 3-D backbone frames of the first rollout "
@@ -107,6 +113,42 @@ def main(argv=None):
 
     out_dir = Path(args.out_path)
     out_dir.mkdir(parents=True, exist_ok=True)
+
+    if args.streams > 1:
+        # Multi-stream serving: S rollouts batched on one chip (lax.map
+        # chunking bounds live memory); writes (S, num_steps, R, 3).
+        starts = [s + i * args.stream_stride for i in range(args.streams)]
+        hi = max(starts) + cfg.window_size
+        if hi > traj.num_frames:
+            raise ValueError(
+                f"streams x stride needs frame {hi}, trajectory has "
+                f"{traj.num_frames}"
+            )
+        w0s = jnp.stack([
+            jnp.asarray(traj.positions[st : st + cfg.window_size])
+            for st in starts
+        ])
+        roll = make_rollout_fn(cfg, args.num_steps, args.threshold,
+                               clip=args.clip, batched=True,
+                               stream_chunk=args.stream_chunk)
+        t0 = time.time()
+        coords, _, diags = roll(params, aa, w0s)
+        coords = np.asarray(jax.block_until_ready(coords))
+        dt = time.time() - t0
+        np.save(out_dir / "forecast_coords.npy", coords)
+        summary = {
+            "streams": args.streams,
+            "num_steps": args.num_steps,
+            "seconds": dt,
+            "agg_steps_per_s": args.streams * args.num_steps / dt,
+            "finite": bool(np.isfinite(coords).all()),
+            "edge_overflow": bool(np.any(np.asarray(
+                diags["edge_overflow"]))),
+        }
+        (out_dir / "rollout_summary.json").write_text(
+            json.dumps(summary, indent=2))
+        print(json.dumps(summary))
+        return summary
 
     truth_lo = s + cfg.window_size
     have_truth = truth_lo + args.num_steps <= traj.num_frames

@@ -86,6 +86,10 @@ def parse_args(argv=None):
     p.add_argument("--resume", type=Path, default=None,
                    help="checkpoint (.npz) to resume from")
     p.add_argument("--wandb", action="store_true")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of the first "
+                        "training epoch to <run_path>/trace "
+                        "(TensorBoard/Perfetto viewable)")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard the batch over all local devices")
     args = p.parse_args(argv)
@@ -422,11 +426,22 @@ def main(argv=None):
 
     for epoch in range(start_epoch, train_cfg.epochs):
         t0 = time.time()
+        profile_ctx = None
+        if args.profile and epoch == start_epoch:
+            from molecular_dynamics_neural_operator_tpu.utils.profiling import (
+                trace,
+            )
+
+            profile_ctx = trace(str(run_dir / "trace"))
+            profile_ctx.__enter__()
         state, train_m = train_epoch(
             state, train_step, dataset, tr_idx, train_cfg.batch_size,
             seed=train_cfg.seed, epoch=epoch, put=put,
             rollout_horizon=train_cfg.rollout_steps,
         )
+        if profile_ctx is not None:
+            profile_ctx.__exit__(None, None, None)
+            print(f"profiler trace written to {run_dir / 'trace'}")
         valid_m = eval_epoch(
             state.params, eval_step, dataset, va_idx, train_cfg.batch_size,
         )

@@ -160,3 +160,36 @@ def test_preprocess_cli_dh_mode(h5, tmp_path):
     grid = np.load(written[0])
     assert grid.shape == (60, 6, 5, 4)
     assert np.isfinite(grid).all()
+
+
+def test_rollout_cli_multi_stream(tmp_path):
+    """--streams batched serving path with chunking."""
+    from molecular_dynamics_neural_operator_tpu.cli import rollout as cli_roll
+
+    h5p = tmp_path / "s.h5"
+    write_synthetic_h5(h5p, num_frames=30, num_residues=12, seed=3)
+    out = tmp_path / "streams"
+    summary = cli_roll.main([
+        "--data_path", str(h5p), "--out_path", str(out),
+        "--num_steps", "4", "--window_size", "4",
+        "--width", "8", "--kernel_width", "16", "--depth", "1",
+        "--num_residues", "12", "--compute_dtype", "float32",
+        "--predict_delta", "--streams", "4", "--stream_stride", "2",
+        "--stream_chunk", "2",
+    ])
+    coords = np.load(out / "forecast_coords.npy")
+    assert coords.shape == (4, 4, 12, 3)
+    assert summary["finite"] and summary["agg_steps_per_s"] > 0
+
+
+def test_train_cli_profile_flag(h5, tmp_path):
+    """--profile captures a jax.profiler trace of the first epoch."""
+    from molecular_dynamics_neural_operator_tpu.cli import train as cli_train
+
+    run = tmp_path / "runp"
+    cli_train.main(_common(h5, run) + [
+        "--width", "8", "--kernel_width", "16", "--depth", "1",
+        "--profile",
+    ])
+    trace_dir = run / "trace"
+    assert trace_dir.exists() and any(trace_dir.rglob("*"))
