@@ -21,14 +21,16 @@ matmuls (G, D) as in the XLA path; the op is intrinsically
 elementwise-bound since every data-dependent kernel weight is used exactly
 once (arithmetic intensity O(1)).
 
-**Status: experimental, correct, and currently SLOWER than the XLA path.**
-Measured on one TPU v5e at reference scale (E=384, width 64, depth 6)
-inside the rollout scan: XLA 16.4k steps/s, this kernel 6.1k (lean FMA) /
-7.7k (REP/RED). XLA's fusion already keeps the hot loop near the VPU
-structural floor; the remaining win (weight residency across scan steps,
-~13 us/step) needs a persistent grid-over-steps kernel, left for a later
-round. The kernel stays available via ``ModelConfig.conv_impl="pallas"``
-and is exact vs the XLA path in f32 (tests/test_pallas_fused.py).
+**Status: superseded.** This per-step kernel measured SLOWER than the XLA
+scan in round 1 (6.1-7.7k vs 16.4k steps/s at E=384) because weights
+re-stream every invocation and the lane-slice FMA form fights Mosaic's
+layouts. Round 2 built what this kernel was missing:
+``ops/pallas/persistent_rollout.py`` runs the WHOLE rollout as one
+grid-over-steps launch (weights VMEM-resident, tile-layout matvec) at
+28.7k steps/s, and ``ops/pallas/train_conv.py`` covers the training-side
+conv stack. This kernel stays available via
+``ModelConfig.conv_impl="pallas"`` as a documented negative result and is
+exact vs the XLA path in f32 (tests/test_pallas_fused.py).
 
 Static shapes: R padded to a multiple of 8, E a multiple of 8, w = width.
 Falls back to interpret mode off-TPU (tests run it on CPU).

@@ -289,6 +289,15 @@ def persistent_rollout(
     if cfg.electrostatics != "none":
         raise ValueError("persistent rollout: electrostatics not supported")
     r = int(aa.shape[0])
+    if r > 48:
+        # The pair-ranking matmul holds a (R_pad^2, R_pad^2) triangular
+        # constant in VMEM: fine for fast folders (BBA 28, villin 35),
+        # quadratic beyond. Larger systems use the XLA scan (rollout/scan)
+        # with the cell-list rebuild.
+        raise ValueError(
+            f"persistent rollout supports <=48 residues (got {r}); use "
+            "rollout/scan.py for larger systems"
+        )
     t_len, width, kw = cfg.window_size, cfg.width, cfg.ker_width
     e_cap = cfg.max_edges
     r_pad = _round_up(r, 8)
