@@ -9,6 +9,9 @@ from molecular_dynamics_neural_operator_tpu.parallel.mesh import (
 from molecular_dynamics_neural_operator_tpu.parallel.rollout_sharded import (
     make_sharded_rollout_fn,
 )
+from molecular_dynamics_neural_operator_tpu.parallel.rollout_edge_sharded import (
+    make_edge_sharded_rollout_fn,
+)
 
 __all__ = [
     "make_mesh",
@@ -18,4 +21,5 @@ __all__ = [
     "make_sharded_train_step",
     "make_sharded_curriculum_train_step",
     "make_sharded_rollout_fn",
+    "make_edge_sharded_rollout_fn",
 ]

@@ -395,3 +395,37 @@ def test_config4_multi_trajectory_data_parallel(tmp_path, sparse_cfg):
     assert len(batch["window"].sharding.device_set) == 8
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["rel_l2"]))
+
+
+def test_edge_sharded_rollout_matches_single_device(sparse_cfg):
+    """ONE stream's rollout with the edge axis sharded over the model
+    axis: each device evaluates the kernel MLP on its edge slice, partial
+    aggregates psum, the rebuild stays replicated — output must match the
+    single-device scan."""
+    import dataclasses
+
+    from molecular_dynamics_neural_operator_tpu.parallel import (
+        make_edge_sharded_rollout_fn,
+    )
+    from molecular_dynamics_neural_operator_tpu.rollout import (
+        make_rollout_fn,
+    )
+
+    cfg = dataclasses.replace(sparse_cfg, predict_delta=True)
+    params = gkn_init(jax.random.PRNGKey(0), cfg)
+    traj_pos = jax.random.normal(
+        jax.random.PRNGKey(5), (cfg.window_size, cfg.num_residues, 3)
+    ) * 4.0
+    aa = jnp.arange(cfg.num_residues, dtype=jnp.int32) % 20
+
+    ref, ref_final, _ = make_rollout_fn(cfg, num_steps=5)(params, aa,
+                                                          traj_pos)
+
+    mesh = make_mesh(MeshConfig(data=1, model=8))
+    roll = make_edge_sharded_rollout_fn(cfg, mesh, num_steps=5)
+    out, final_w, diags = roll(params, aa, traj_pos)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(final_w), np.asarray(ref_final),
+                               rtol=1e-4, atol=1e-4)
+    assert not bool(diags["edge_overflow"])
