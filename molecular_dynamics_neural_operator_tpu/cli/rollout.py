@@ -41,6 +41,10 @@ def parse_args(argv=None):
     p.add_argument("--compute_dtype", choices=["float32", "bfloat16"],
                    default="bfloat16")
     p.add_argument("--predict_delta", action="store_true")
+    p.add_argument("--electrostatics", choices=["none", "dh"],
+                   default="none",
+                   help="must match the training flag: checkpoints trained "
+                        "with dh have a wider fc1")
     p.add_argument("--clip", type=float, default=None)
     p.add_argument("--impl", choices=["scan", "persistent"], default="scan",
                    help="'persistent' = grid-over-steps Pallas kernel with "
@@ -92,6 +96,7 @@ def main(argv=None):
         num_cells=args.num_cells,
         compute_dtype=args.compute_dtype,
         predict_delta=args.predict_delta,
+        electrostatics=args.electrostatics,
     )
     traj = load_trajectory(args.data_path)
 

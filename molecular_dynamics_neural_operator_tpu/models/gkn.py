@@ -276,7 +276,11 @@ def gkn_apply(
     (ops/pallas/train_conv.py)."""
     if (cfg.train_conv_impl == "pallas"
             and isinstance(batch.graph, SparseGraph)
-            and cfg.tie_edge_kernel and cfg.depth > 0):
+            and cfg.tie_edge_kernel and cfg.depth > 0
+            # same node-count bound as the one-hot scatter path: the
+            # kernel builds (B, E, R) incidence tensors and per-example
+            # VMEM blocks — large systems stay on the segment/XLA path
+            and batch.aa.shape[0] <= 512):
         return _gkn_apply_pallas_batched(params, cfg, batch, return_latent)
     fn = lambda window, graph: gkn_apply_single(
         params, cfg, batch.aa, window, graph, return_latent

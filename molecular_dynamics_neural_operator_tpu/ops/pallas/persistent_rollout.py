@@ -333,7 +333,13 @@ def persistent_rollout(
     if use_rep_eff:
         # tile-layout kernel tensor: permute W3's columns so K' holds each
         # edge's matrix transposed (index v*w + wi), matching pltpu.repeat.
-        perm = np.arange(width * width).reshape(width, width).T.ravel()
+        # ONE definition of this layout-critical permutation lives in
+        # train_conv.kernel_permutation — shared with the training kernel.
+        from molecular_dynamics_neural_operator_tpu.ops.pallas.train_conv import (  # noqa: E501
+            kernel_permutation,
+        )
+
+        perm = kernel_permutation(width)
         w3 = w3[:, perm]
         b3 = b3[perm]
         red = red_t

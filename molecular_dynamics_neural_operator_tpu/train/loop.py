@@ -151,6 +151,12 @@ def train_epoch(state, train_step, dataset, indices, batch_size, *,
         return state, {"rel_l2": 0.0, "mse": 0.0,
                        "steps_per_sec": 0.0, "examples_per_sec": 0.0}
     n = len(acc)
+    # Force device completion BEFORE reading the timer: ticks fire at
+    # dispatch time, and the whole epoch may still be in flight here (the
+    # deferred-materialization design). A value read is the only reliable
+    # completion barrier on the axon backend.
+    float(acc[-1]["rel_l2"])
+    timer.stop()
     total = {
         k: sum(float(m[k]) for m in acc) / n for k in ("rel_l2", "mse")
     }

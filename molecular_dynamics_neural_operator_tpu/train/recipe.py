@@ -1,0 +1,71 @@
+"""The flagship curriculum training recipe, in ONE place.
+
+Teacher-forced (K=1) warmup then K-step rollout curriculum, with the
+known-good stabilizers (grad clip + skip-nonfinite + the coord-clip rail).
+tools/accuracy_eval.py, tools/fast_folder_eval.py and
+tools/reference_parity.py all train with this function — previously three
+drifting copies of the same loop.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+
+from molecular_dynamics_neural_operator_tpu.data import batch_iterator
+from molecular_dynamics_neural_operator_tpu.train.curriculum import (
+    make_curriculum_train_step,
+)
+from molecular_dynamics_neural_operator_tpu.train.state import (
+    create_train_state,
+)
+
+
+def train_curriculum_recipe(
+    cfg,
+    tcfg,
+    dataset,
+    train_indices,
+    *,
+    steps: int,
+    k: int = 4,
+    warmup_frac: float = 0.25,
+    coord_clip: float | None = 1000.0,
+    threshold: float = 8.0,
+    seed: int = 0,
+    log_every: int = 200,
+    log_prefix: str = "",
+):
+    """Train ``steps`` optimizer steps: the first ``warmup_frac`` fraction
+    (at least 200 steps) teacher-forced (K=1), the rest with the K-step
+    rollout-in-the-loss. Returns (state, seconds, last_logged_loss)."""
+    state, tx, _ = create_train_state(
+        jax.random.PRNGKey(seed), cfg, tcfg,
+        steps_per_epoch=max(1, len(train_indices) // tcfg.batch_size),
+    )
+    step_k1 = make_curriculum_train_step(
+        cfg, tx, rollout_steps=1, threshold=threshold, coord_clip=coord_clip
+    )
+    step_k = make_curriculum_train_step(
+        cfg, tx, rollout_steps=k, threshold=threshold, coord_clip=coord_clip
+    )
+    warmup = max(200, int(steps * warmup_frac))
+
+    t0 = time.time()
+    seen, epoch, last_loss = 0, 0, None
+    while seen < steps:
+        k_now = 1 if seen < warmup else k
+        for batch in batch_iterator(dataset, train_indices, tcfg.batch_size,
+                                    seed=seed, epoch=epoch,
+                                    rollout_horizon=k_now):
+            state, m = (step_k1 if k_now == 1 else step_k)(state, batch)
+            seen += 1
+            if seen % log_every == 0:
+                last_loss = float(m["rel_l2"])
+                print(f"{log_prefix}step {seen}: loss {last_loss:.4f} "
+                      f"({time.time() - t0:.0f}s)", flush=True)
+            if seen >= steps:
+                break
+        epoch += 1
+    return state, time.time() - t0, last_loss

@@ -92,6 +92,16 @@ def restore_subtree(path, like, prefix: str) -> Tuple[Any, dict]:
         if key not in data:
             raise KeyError(f"checkpoint missing leaf {key}")
         arr = data[key]
+        if hasattr(leaf, "shape") and tuple(arr.shape) != tuple(leaf.shape):
+            # name the mismatched leaf: an opaque dot-shape error deep in
+            # jit is useless (e.g. a dh-trained fc1 (8, w) restored into a
+            # (7, w) template because --electrostatics was not passed)
+            raise ValueError(
+                f"checkpoint leaf {key} has shape {tuple(arr.shape)} but "
+                f"the template expects {tuple(leaf.shape)} — model config "
+                "mismatch (width/depth/electrostatics flags must match "
+                "training)"
+            )
         if hasattr(leaf, "dtype") and arr.dtype != leaf.dtype:
             arr = arr.astype(leaf.dtype)
         leaves.append(arr)

@@ -66,6 +66,14 @@ class StepTimer:
         elif self._count > self.warmup:
             self._examples += examples
 
+    def stop(self) -> None:
+        """Mark the true end of the measured region. Call AFTER forcing
+        device completion (a value read) — ticks fire at dispatch time,
+        so without this the meter reports async dispatch rate, not
+        throughput (the axon backend dispatches an entire epoch in
+        milliseconds)."""
+        self._last = time.perf_counter()
+
     @property
     def measured_steps(self) -> int:
         return max(0, self._count - self.warmup)

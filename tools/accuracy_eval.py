@@ -14,7 +14,6 @@ bba_analysis.ipynb cells 19-27.)
 
 import argparse
 import json
-import time
 
 import jax
 import jax.numpy as jnp
@@ -22,12 +21,11 @@ import numpy as np
 
 from molecular_dynamics_neural_operator_tpu.configs import ModelConfig, TrainConfig
 from molecular_dynamics_neural_operator_tpu.data import (
-    WindowDataset, batch_iterator, synthetic_trajectory)
+    WindowDataset, synthetic_trajectory)
 from molecular_dynamics_neural_operator_tpu.geometry import contact_map
-from molecular_dynamics_neural_operator_tpu.train import (
-    create_train_state, train_valid_split)
-from molecular_dynamics_neural_operator_tpu.train.curriculum import (
-    make_curriculum_train_step)
+from molecular_dynamics_neural_operator_tpu.train import train_valid_split
+from molecular_dynamics_neural_operator_tpu.train.recipe import (
+    train_curriculum_recipe)
 from molecular_dynamics_neural_operator_tpu.rollout import rollout_with_mse
 
 
@@ -62,33 +60,11 @@ def main():
     ds = WindowDataset(traj, window_size=cfg.window_size,
                        graph_mode="sparse", max_edges=args.max_edges)
     tr_idx, va_idx = train_valid_split(len(ds), 0.8, "partition")
-    state, tx, _ = create_train_state(jax.random.PRNGKey(0), cfg, tcfg,
-                                      steps_per_epoch=len(tr_idx)//args.batch)
     cc = args.coord_clip if args.coord_clip > 0 else None
-    step_k1 = make_curriculum_train_step(cfg, tx, rollout_steps=1,
-                                         coord_clip=cc)
-    step_k = make_curriculum_train_step(cfg, tx, rollout_steps=args.k,
-                                        coord_clip=cc)
-    warmup = max(200, int(args.steps * args.warmup_frac))
-
-    t0 = time.time()
-    seen = 0
-    epoch = 0
-    losses = []
-    while seen < args.steps:
-        k_now = 1 if seen < warmup else args.k
-        for batch in batch_iterator(ds, tr_idx, args.batch, seed=0,
-                                    epoch=epoch, rollout_horizon=k_now):
-            step = step_k1 if k_now == 1 else step_k
-            state, m = step(state, batch)
-            seen += 1
-            if seen % 200 == 0:
-                losses.append(float(m["rel_l2"]))
-                print(f"step {seen}: loss {losses[-1]:.4f} "
-                      f"({time.time()-t0:.0f}s)", flush=True)
-            if seen >= args.steps:
-                break
-        epoch += 1
+    state, train_seconds, last_loss = train_curriculum_recipe(
+        cfg, tcfg, ds, tr_idx, steps=args.steps, k=args.k,
+        warmup_frac=args.warmup_frac, coord_clip=cc,
+    )
 
     # --- evaluation: free rollout from the validation region
     aa = jnp.asarray(traj.aminoacids)
@@ -107,9 +83,9 @@ def main():
     cm_acc = np.mean(cm_pred == cm_true, axis=(1, 2))
 
     out = {
-        "train_steps": seen,
-        "train_seconds": time.time() - t0,
-        "final_train_loss": losses[-1] if losses else None,
+        "train_steps": args.steps,
+        "train_seconds": train_seconds,
+        "final_train_loss": last_loss,
         "rollout_finite_steps": int(np.isfinite(coords).all(axis=(1,2)).sum()),
         "coord_mse": {"step1": float(mses[0]),
                       "step10": float(mses[min(9, len(mses)-1)]),

@@ -28,15 +28,15 @@ def run_preset(name: str, train_steps: int, horizon: int, k: int,
 
     from molecular_dynamics_neural_operator_tpu.configs import TrainConfig
     from molecular_dynamics_neural_operator_tpu.data import (
-        WindowDataset, batch_iterator, synthetic_trajectory)
+        WindowDataset, synthetic_trajectory)
     from molecular_dynamics_neural_operator_tpu.geometry import contact_map
     from molecular_dynamics_neural_operator_tpu.presets import PRESETS
     from molecular_dynamics_neural_operator_tpu.rollout import (
         make_rollout_fn, rollout_with_mse)
     from molecular_dynamics_neural_operator_tpu.train import (
-        create_train_state, train_valid_split)
-    from molecular_dynamics_neural_operator_tpu.train.curriculum import (
-        make_curriculum_train_step)
+        train_valid_split)
+    from molecular_dynamics_neural_operator_tpu.train.recipe import (
+        train_curriculum_recipe)
 
     cfg = dataclasses.replace(
         PRESETS[name], compute_dtype="float32", graph_mode="sparse",
@@ -49,29 +49,9 @@ def run_preset(name: str, train_steps: int, horizon: int, k: int,
     ds = WindowDataset(traj, window_size=cfg.window_size,
                        graph_mode="sparse", max_edges=cfg.max_edges)
     tr_idx, va_idx = train_valid_split(len(ds), 0.8, "partition")
-    state, tx, _ = create_train_state(
-        jax.random.PRNGKey(0), cfg, tcfg,
-        steps_per_epoch=len(tr_idx) // batch)
-    step_k1 = make_curriculum_train_step(cfg, tx, rollout_steps=1)
-    step_k = make_curriculum_train_step(cfg, tx, rollout_steps=k)
-    warmup = max(200, train_steps // 4)
-
-    t0 = time.time()
-    seen, epoch, last_loss = 0, 0, None
-    while seen < train_steps:
-        k_now = 1 if seen < warmup else k
-        for b in batch_iterator(ds, tr_idx, batch, seed=0, epoch=epoch,
-                                rollout_horizon=k_now):
-            state, m = (step_k1 if k_now == 1 else step_k)(state, b)
-            seen += 1
-            if seen % 200 == 0:
-                last_loss = float(m["rel_l2"])
-                print(f"[{name}] step {seen}: loss {last_loss:.4f} "
-                      f"({time.time()-t0:.0f}s)", flush=True)
-            if seen >= train_steps:
-                break
-        epoch += 1
-    train_seconds = time.time() - t0
+    state, train_seconds, last_loss = train_curriculum_recipe(
+        cfg, tcfg, ds, tr_idx, steps=train_steps, k=k,
+        log_prefix=f"[{name}] ")
 
     # 100-step free rollout accuracy from the validation region
     aa = jnp.asarray(traj.aminoacids)
@@ -104,7 +84,7 @@ def run_preset(name: str, train_steps: int, horizon: int, k: int,
     return {
         "preset": name,
         "num_residues": r,
-        "train_steps": seen,
+        "train_steps": train_steps,
         "train_seconds": round(train_seconds, 1),
         "final_train_loss": last_loss,
         "horizon": horizon,

@@ -45,13 +45,13 @@ def main():
     from molecular_dynamics_neural_operator_tpu.configs import (
         ModelConfig, TrainConfig)
     from molecular_dynamics_neural_operator_tpu.data import (
-        WindowDataset, batch_iterator, synthetic_trajectory)
+        WindowDataset, synthetic_trajectory)
     from molecular_dynamics_neural_operator_tpu.geometry import contact_map
     from molecular_dynamics_neural_operator_tpu.rollout import make_rollout_fn
     from molecular_dynamics_neural_operator_tpu.train import (
-        create_train_state, train_valid_split)
-    from molecular_dynamics_neural_operator_tpu.train.curriculum import (
-        make_curriculum_train_step)
+        train_valid_split)
+    from molecular_dynamics_neural_operator_tpu.train.recipe import (
+        train_curriculum_recipe)
     from molecular_dynamics_neural_operator_tpu.utils.torch_export import (
         export_reference_state_dict)
     from tools.torch_replica import (
@@ -67,31 +67,8 @@ def main():
     ds = WindowDataset(traj, window_size=cfg.window_size,
                        graph_mode="sparse", max_edges=512)
     tr_idx, va_idx = train_valid_split(len(ds), 0.8, "partition")
-    state, tx, _ = create_train_state(
-        jax.random.PRNGKey(0), cfg, tcfg,
-        steps_per_epoch=len(tr_idx) // args.batch)
-    step_k1 = make_curriculum_train_step(cfg, tx, rollout_steps=1)
-    step_k = make_curriculum_train_step(cfg, tx, rollout_steps=args.k)
-    warmup = max(200, args.train_steps // 4)
-
-    t0 = time.time()
-    seen, epoch = 0, 0
-    last_loss = None
-    while seen < args.train_steps:
-        k_now = 1 if seen < warmup else args.k
-        for batch in batch_iterator(ds, tr_idx, args.batch, seed=0,
-                                    epoch=epoch, rollout_horizon=k_now):
-            step = step_k1 if k_now == 1 else step_k
-            state, m = step(state, batch)
-            seen += 1
-            if seen % 200 == 0:
-                last_loss = float(m["rel_l2"])
-                print(f"step {seen}: loss {last_loss:.4f} "
-                      f"({time.time() - t0:.0f}s)", flush=True)
-            if seen >= args.train_steps:
-                break
-        epoch += 1
-    train_seconds = time.time() - t0
+    state, train_seconds, last_loss = train_curriculum_recipe(
+        cfg, tcfg, ds, tr_idx, steps=args.train_steps, k=args.k)
 
     # --- export to the reference replica (identical weights)
     params_np = jax.tree_util.tree_map(np.asarray, state.params)
@@ -106,7 +83,7 @@ def main():
         save_checkpoint)
 
     ckpt_path = args.out.parent / "reference_parity_ckpt.npz"
-    save_checkpoint(ckpt_path, state, {"train_steps": seen})
+    save_checkpoint(ckpt_path, state, {"train_steps": args.train_steps})
 
     # --- roll out both from identical windows (two independent starts)
     aa_np = np.asarray(traj.aminoacids)
@@ -160,7 +137,7 @@ def main():
         })
 
     out = {
-        "train_steps": seen,
+        "train_steps": args.train_steps,
         "train_seconds": round(train_seconds, 1),
         "final_train_loss": last_loss,
         "horizon": args.horizon,
