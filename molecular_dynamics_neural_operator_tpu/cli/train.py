@@ -230,7 +230,18 @@ def _main_fno(args, data_cfg, train_cfg):
     params = fno_init(jax.random.PRNGKey(train_cfg.seed), cfg)
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32),
                        jax.random.PRNGKey(train_cfg.seed))
-    step = make_fno_window_train_step(cfg, tx)
+    if train_cfg.rollout_steps > 0:
+        from molecular_dynamics_neural_operator_tpu.models.fno import (
+            make_fno_curriculum_train_step,
+        )
+
+        step = make_fno_curriculum_train_step(
+            cfg, tx, rollout_steps=train_cfg.rollout_steps
+        )
+        print(f"FNO curriculum training: K={train_cfg.rollout_steps} "
+              "rollout steps in the loss")
+    else:
+        step = make_fno_window_train_step(cfg, tx)
     eval_step = make_fno_window_eval_step(cfg)
     logger = MetricLogger(run_dir, use_wandb=train_cfg.log_wandb)
     ckpt = BestCheckpointer(run_dir)
@@ -240,7 +251,8 @@ def _main_fno(args, data_cfg, train_cfg):
         t0 = _time.time()
         tr_loss = n = 0
         for batch in batch_iterator(ds, tr_idx, train_cfg.batch_size,
-                                    seed=train_cfg.seed, epoch=epoch):
+                                    seed=train_cfg.seed, epoch=epoch,
+                                    rollout_horizon=train_cfg.rollout_steps):
             state, m = step(state, batch)
             tr_loss += float(m["rel_l2"])
             n += 1

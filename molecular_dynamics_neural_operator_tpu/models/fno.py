@@ -207,3 +207,88 @@ def make_fno_train_step(cfg: FNOConfig, tx):
         }
 
     return step
+
+
+def make_fno_curriculum_train_step(cfg: FNOConfig, tx,
+                                   rollout_steps: int,
+                                   step_weights=None):
+    """K-step rollout curriculum for the FNO family — the same
+    exposure-gap closure as the GKN's ``train/curriculum.py`` on the
+    distance-matrix state: step 1 predicts from the true window, steps
+    2..K feed the model its own (symmetrized, zero-diagonal) predictions.
+    The host batch must carry ``y_seq`` (B, K, R, 3) coordinates
+    (``WindowDataset.get_batch(..., rollout_horizon=K)``); distance
+    targets are computed on device. K=1 reduces to the teacher-forced
+    objective."""
+    from molecular_dynamics_neural_operator_tpu.train.state import TrainState
+
+    def _project(p: Array) -> Array:
+        """Symmetrize + zero diagonal, batched: (B, R, R)."""
+        p = 0.5 * (p + jnp.swapaxes(p, -1, -2))
+        r = p.shape[-1]
+        return p * (1.0 - jnp.eye(r, dtype=p.dtype))
+
+    def _rel(pred: Array, truth: Array) -> Array:
+        """Per-example relative L2 on (B, R, R) matrices -> (B,)."""
+        num = jnp.sqrt(jnp.sum((pred - truth) ** 2, axis=(1, 2)))
+        return num / jnp.sqrt(jnp.sum(truth ** 2, axis=(1, 2)))
+
+    def loss_fn(params, batch: dict):
+        channels = jax.vmap(distance_matrix_channels)(batch["window"])
+        y_seq = batch["y_seq"]  # (B, K, R, 3) coordinates
+        k = y_seq.shape[1]
+        diff = y_seq[:, :, :, None, :] - y_seq[:, :, None, :, :]
+        dm_seq = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
+        weights = (
+            jnp.asarray(step_weights, jnp.float32)
+            if step_weights is not None
+            else jnp.ones((k,), jnp.float32)
+        )
+        weights = weights / jnp.sum(weights)
+
+        def predict(ch):
+            return fno_apply(params, cfg, ch)[..., 0]
+
+        # loss on the RAW prediction (teacher semantics, K=1 == the
+        # teacher-forced step exactly); the symmetric/zero-diagonal
+        # projection applies only to the FED-BACK matrix, mirroring the
+        # rollout's stabilization (fno_rollout_scan).
+        p = predict(channels)
+        loss_vec = weights[0] * _rel(p, dm_seq[:, 0])
+        sq = jnp.sum((p - dm_seq[:, 0]) ** 2, axis=(1, 2))
+        if k > 1:
+            channels = jnp.concatenate(
+                [channels[..., 1:], _project(p)[..., None]], axis=-1
+            )
+
+            def body(carry, inputs):
+                channels, loss_vec, sq = carry
+                y_t, w = inputs
+                p = predict(channels)
+                loss_vec = loss_vec + w * _rel(p, y_t)
+                sq = sq + jnp.sum((p - y_t) ** 2, axis=(1, 2))
+                channels = jnp.concatenate(
+                    [channels[..., 1:], _project(p)[..., None]], axis=-1
+                )
+                return (channels, loss_vec, sq), None
+
+            dm_steps = jnp.swapaxes(dm_seq, 0, 1)  # (K, B, R, R)
+            (channels, loss_vec, sq), _ = jax.lax.scan(
+                body, (channels, loss_vec, sq), (dm_steps[1:], weights[1:])
+            )
+        r = dm_seq.shape[-1]
+        return jnp.sum(loss_vec), jnp.mean(sq / (k * r * r))
+
+    @jax.jit
+    def step(state: TrainState, batch: dict):
+        (l2, m), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                        state.params, updates)
+        return TrainState(params, opt_state, state.step + 1, state.rng), {
+            "rel_l2": l2, "mse": m,
+        }
+
+    return step

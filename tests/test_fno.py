@@ -100,3 +100,90 @@ def test_rollout_slides_channels_and_is_symmetric():
     np.testing.assert_allclose(
         np.asarray(final[..., -1]), p[-1], rtol=1e-6
     )
+
+
+def test_fno_curriculum_k1_matches_teacher_step():
+    """K=1 FNO curriculum == the teacher-forced window step (same loss,
+    same updated params), mirroring the GKN curriculum invariant."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from molecular_dynamics_neural_operator_tpu.configs import FNOConfig
+    from molecular_dynamics_neural_operator_tpu.data import (
+        WindowDataset,
+        synthetic_trajectory,
+    )
+    from molecular_dynamics_neural_operator_tpu.models.fno import (
+        fno_init,
+        make_fno_curriculum_train_step,
+        make_fno_window_train_step,
+    )
+    from molecular_dynamics_neural_operator_tpu.train.optim import (
+        make_optimizer,
+    )
+    from molecular_dynamics_neural_operator_tpu.train.state import TrainState
+
+    cfg = FNOConfig(width=8, modes1=3, modes2=3, depth=1, in_channels=4,
+                    num_residues=12)
+    traj = synthetic_trajectory(num_frames=24, num_residues=12, seed=6)
+    ds = WindowDataset(traj, window_size=4, graph_mode="none")
+    batch = {k: jnp.asarray(v) for k, v in
+             ds.get_batch(np.arange(5), rollout_horizon=1).items()}
+
+    outs = {}
+    for name, make in (("teacher", lambda tx: make_fno_window_train_step(cfg, tx)),
+                       ("k1", lambda tx: make_fno_curriculum_train_step(cfg, tx, 1))):
+        tx, _ = make_optimizer(lr=1e-3)
+        params = fno_init(jax.random.PRNGKey(0), cfg)
+        state = TrainState(params, tx.init(params),
+                           jnp.zeros((), jnp.int32), jax.random.PRNGKey(0))
+        new, m = make(tx)(state, batch)
+        outs[name] = (new, float(m["rel_l2"]))
+    # teacher step's y is the same frame as y_seq[:, 0]; rel on the
+    # (R, R, 1) channels equals rel on the (R, R) matrix
+    assert abs(outs["teacher"][1] - outs["k1"][1]) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(outs["teacher"][0].params),
+                    jax.tree_util.tree_leaves(outs["k1"][0].params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_fno_curriculum_k3_trains():
+    """K=3 FNO curriculum: finite loss that decreases over steps."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from molecular_dynamics_neural_operator_tpu.configs import FNOConfig
+    from molecular_dynamics_neural_operator_tpu.data import (
+        WindowDataset,
+        batch_iterator,
+        synthetic_trajectory,
+    )
+    from molecular_dynamics_neural_operator_tpu.models.fno import (
+        fno_init,
+        make_fno_curriculum_train_step,
+    )
+    from molecular_dynamics_neural_operator_tpu.train.optim import (
+        make_optimizer,
+    )
+    from molecular_dynamics_neural_operator_tpu.train.state import TrainState
+
+    cfg = FNOConfig(width=8, modes1=3, modes2=3, depth=1, in_channels=4,
+                    num_residues=12)
+    traj = synthetic_trajectory(num_frames=40, num_residues=12, seed=6)
+    ds = WindowDataset(traj, window_size=4, graph_mode="none")
+    tx, _ = make_optimizer(lr=3e-3)
+    params = fno_init(jax.random.PRNGKey(0), cfg)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32),
+                       jax.random.PRNGKey(0))
+    step = make_fno_curriculum_train_step(cfg, tx, 3)
+    losses = []
+    for epoch in range(6):
+        for batch in batch_iterator(ds, np.arange(30), 8, seed=0,
+                                    epoch=epoch, rollout_horizon=3):
+            state, m = step(state, batch)
+            losses.append(float(m["rel_l2"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
