@@ -95,11 +95,27 @@ def main():
     torch_seconds = 0.0
     comparisons = []
     starts = [int(va_idx[0]), int(va_idx[len(va_idx) // 2])]
+    pers = None
+    try:
+        from molecular_dynamics_neural_operator_tpu.ops.pallas.persistent_rollout import (  # noqa: E501
+            make_persistent_rollout_fn, pallas_available)
+
+        if pallas_available():
+            pers = make_persistent_rollout_fn(cfg, num_steps=args.horizon)
+    except Exception:
+        pers = None
+
     for start in starts:
         w0_np = np.asarray(traj.positions[start : start + cfg.window_size])
         coords_jax, _, diags = roll(state.params, jnp.asarray(aa_np),
                                     jnp.asarray(w0_np))
         coords_jax = np.asarray(coords_jax)
+        persistent_maxdiff = None
+        if pers is not None:
+            coords_p, _, _ = pers(state.params, jnp.asarray(aa_np),
+                                  jnp.asarray(w0_np))
+            persistent_maxdiff = float(
+                np.abs(np.asarray(coords_p) - coords_jax).max())
         t1 = time.time()
         coords_ref = torch_recursive_propagation(replica, w0_np, aa_np,
                                                  args.horizon)
@@ -117,6 +133,7 @@ def main():
         comparisons.append({
             "start_frame": start,
             "edge_overflow": bool(diags["edge_overflow"]),
+            "persistent_kernel_vs_scan_maxdiff": persistent_maxdiff,
             "coord_maxdiff_curve": [float(coord_diff[i]) for i in qi],
             "coord_rmse_mean": float(coord_rmse.mean()),
             "coord_rmse_max": float(coord_rmse.max()),
@@ -145,11 +162,12 @@ def main():
         "torch_rollout_seconds": round(torch_seconds, 1),
         "note": (
             "coord_maxdiff_curve samples max|coord_jax - coord_ref| along "
-            "the rollout; exact zeros are real — the trained predict_delta "
-            "operator adds a ~0.05 A displacement to ~10 A coordinates, so "
-            "sub-half-ulp implementation noise (<5e-7) is absorbed by f32 "
-            "rounding each step and the two implementations stay bitwise "
-            "synchronized."
+            "the rollout. Expect float-noise-level tracking (<= ~0.02 A "
+            "drift over 128 steps; sometimes exactly 0.0 when the "
+            "predict_delta head's sub-half-ulp noise is re-rounded away "
+            "each step) with 100% contact-map agreement. "
+            "persistent_kernel_vs_scan_maxdiff pins the Pallas kernel "
+            "against the XLA scan on the same checkpoint."
         ),
         "comparisons": comparisons,
         "within_1pct_all": bool(all(c["within_1pct"] for c in comparisons)),
