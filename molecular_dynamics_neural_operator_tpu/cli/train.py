@@ -224,9 +224,14 @@ def _main_fno(args, data_cfg, train_cfg):
     tr_idx, va_idx = train_valid_split(len(ds), data_cfg.split_pct,
                                        data_cfg.split_method)
     steps_per_epoch = max(1, len(tr_idx) // train_cfg.batch_size)
-    tx, _ = make_optimizer(train_cfg.lr, train_cfg.weight_decay,
-                           train_cfg.scheduler_step,
-                           train_cfg.scheduler_gamma, steps_per_epoch)
+    # forward the stability recipe (clip + skip-nonfinite default on with
+    # the curriculum) — the GKN path gets these via create_train_state
+    tx, _ = make_optimizer(
+        train_cfg.lr, train_cfg.weight_decay, train_cfg.scheduler_step,
+        train_cfg.scheduler_gamma, steps_per_epoch,
+        grad_clip_norm=train_cfg.grad_clip_norm,
+        skip_nonfinite_updates=train_cfg.skip_nonfinite_updates,
+    )
     params = fno_init(jax.random.PRNGKey(train_cfg.seed), cfg)
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32),
                        jax.random.PRNGKey(train_cfg.seed))
@@ -258,12 +263,14 @@ def _main_fno(args, data_cfg, train_cfg):
             n += 1
         tr_loss /= max(n, 1)
         va_loss = n = 0
+        # keep the remainder batch: with drop_last a validation split
+        # smaller than the batch size would yield a fake va_loss of 0.0
         for batch in batch_iterator(ds, va_idx, train_cfg.batch_size,
-                                    shuffle=False):
+                                    shuffle=False, drop_last=False):
             m = eval_step(state.params, batch)
             va_loss += float(m["rel_l2"])
             n += 1
-        va_loss /= max(n, 1)
+        va_loss = va_loss / n if n else float("nan")
 
         extra = {}
         if train_cfg.generate_movie and epoch % train_cfg.plot_per_epochs == 0:

@@ -105,6 +105,15 @@ def distance_matrix_channels(positions: Array) -> Array:
     return jnp.moveaxis(d, 0, -1)
 
 
+def sym_zero_diag(p: Array) -> Array:
+    """Project a (..., R, R) prediction onto the distance-matrix manifold
+    (symmetric, zero diagonal) — the feedback stabilization shared by the
+    rollout scan and the training curriculum."""
+    p = 0.5 * (p + jnp.swapaxes(p, -1, -2))
+    r = p.shape[-1]
+    return p * (1.0 - jnp.eye(r, dtype=p.dtype))
+
+
 def fno_rollout_scan(params, cfg: FNOConfig, channels0: Array,
                      num_steps: int):
     """Autoregressive distance-matrix rollout: predict the next matrix,
@@ -113,11 +122,7 @@ def fno_rollout_scan(params, cfg: FNOConfig, channels0: Array,
 
     def body(channels, _):
         pred = fno_apply(params, cfg, channels)  # (R, R, 1)
-        # distance matrices are symmetric with zero diagonal; project back
-        # onto that manifold to stabilize feedback
-        p = pred[..., 0]
-        p = 0.5 * (p + p.T)
-        p = p - jnp.diag(jnp.diag(p))
+        p = sym_zero_diag(pred[..., 0])
         new_channels = jnp.concatenate(
             [channels[..., 1:], p[..., None]], axis=-1
         )
@@ -222,12 +227,6 @@ def make_fno_curriculum_train_step(cfg: FNOConfig, tx,
     objective."""
     from molecular_dynamics_neural_operator_tpu.train.state import TrainState
 
-    def _project(p: Array) -> Array:
-        """Symmetrize + zero diagonal, batched: (B, R, R)."""
-        p = 0.5 * (p + jnp.swapaxes(p, -1, -2))
-        r = p.shape[-1]
-        return p * (1.0 - jnp.eye(r, dtype=p.dtype))
-
     def _rel(pred: Array, truth: Array) -> Array:
         """Per-example relative L2 on (B, R, R) matrices -> (B,)."""
         num = jnp.sqrt(jnp.sum((pred - truth) ** 2, axis=(1, 2)))
@@ -237,8 +236,16 @@ def make_fno_curriculum_train_step(cfg: FNOConfig, tx,
         channels = jax.vmap(distance_matrix_channels)(batch["window"])
         y_seq = batch["y_seq"]  # (B, K, R, 3) coordinates
         k = y_seq.shape[1]
-        diff = y_seq[:, :, :, None, :] - y_seq[:, :, None, :, :]
-        dm_seq = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
+        if k != rollout_steps:
+            raise ValueError(
+                f"batch carries y_seq with K={k} but the step was built "
+                f"for rollout_steps={rollout_steps} (assemble batches "
+                "with rollout_horizon=rollout_steps)"
+            )
+        # (B, K, R, R) distance targets via the shared featurizer
+        dm_seq = jnp.moveaxis(
+            jax.vmap(distance_matrix_channels)(y_seq), -1, 1
+        )
         weights = (
             jnp.asarray(step_weights, jnp.float32)
             if step_weights is not None
@@ -258,7 +265,7 @@ def make_fno_curriculum_train_step(cfg: FNOConfig, tx,
         sq = jnp.sum((p - dm_seq[:, 0]) ** 2, axis=(1, 2))
         if k > 1:
             channels = jnp.concatenate(
-                [channels[..., 1:], _project(p)[..., None]], axis=-1
+                [channels[..., 1:], sym_zero_diag(p)[..., None]], axis=-1
             )
 
             def body(carry, inputs):
@@ -268,7 +275,7 @@ def make_fno_curriculum_train_step(cfg: FNOConfig, tx,
                 loss_vec = loss_vec + w * _rel(p, y_t)
                 sq = sq + jnp.sum((p - y_t) ** 2, axis=(1, 2))
                 channels = jnp.concatenate(
-                    [channels[..., 1:], _project(p)[..., None]], axis=-1
+                    [channels[..., 1:], sym_zero_diag(p)[..., None]], axis=-1
                 )
                 return (channels, loss_vec, sq), None
 

@@ -18,7 +18,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true",
                    help="fewer/shorter measurements")
-    p.add_argument("--max_edges", type=int, default=256)
+    p.add_argument("--max_edges", type=int, default=256,
+                   help="padded edge capacity; round-2 headlines use 256 "
+                        "(round-1 numbers were measured at 384)")
     args = p.parse_args()
 
     import jax
@@ -54,7 +56,7 @@ def main():
     # --- single-stream rollout (slope between two lengths)
     n1, n2 = (300, 900) if args.quick else (1000, 5000)
 
-    def roll_rate(maker):
+    def roll_rate(maker, w0=w0):
         def run(n):
             f = maker(n)
             c, *_ = f(params, aa, w0)
@@ -72,20 +74,17 @@ def main():
         results["rollout_persistent_steps_per_s"] = roll_rate(
             lambda n: make_persistent_rollout_fn(cfg, num_steps=n,
                                                  clip=100.0))
-    # --- batched streams (chunked)
+    # --- batched streams (chunked), slope between two lengths so the
+    # fixed dispatch + value-read tunnel cost cancels
     s = 8 if args.quick else 32
     w0s = jnp.broadcast_to(w0, (s,) + w0.shape) + 0.01 * jax.random.normal(
         jax.random.PRNGKey(1), (s, 1, 1, 1))
     chunk = None if s <= 8 else 8
-    rollb = make_rollout_fn(cfg, num_steps=n1, clip=100.0, batched=True,
-                            stream_chunk=chunk)
-    c, *_ = rollb(params, aa, w0s)
-    float(jnp.sum(c))
-    t0 = time.perf_counter()
-    c, *_ = rollb(params, aa, w0s)
-    float(jnp.sum(c))
-    results["rollout_batched_agg_steps_per_s"] = round(
-        s * n1 / (time.perf_counter() - t0), 0)
+    results["rollout_batched_agg_steps_per_s"] = round(s * roll_rate(
+        lambda n: make_rollout_fn(cfg, num_steps=n, clip=100.0,
+                                  batched=True, stream_chunk=chunk),
+        w0=w0s,
+    ), 0)
     results["rollout_batched_streams"] = s
 
     # --- training steps
@@ -105,14 +104,19 @@ def main():
                                               coord_clip=1000.0)
         else:
             step = make_train_step(c2, tx, donate=False)
-        st, m = step(state, batch)
-        float(m["rel_l2"])
-        t0 = time.perf_counter()
-        n = 3 if args.quick else 5
-        for _ in range(n):
-            st, m = step(st, batch)
-        float(m["rel_l2"])
-        return round(b * n / (time.perf_counter() - t0), 0)
+
+        # slope between two step counts: the ~0.4 s tunnel value-read
+        # would otherwise dominate and under-report by 2-5x
+        def run(n):
+            st, m = step(state, batch)
+            for _ in range(n - 1):
+                st, m = step(st, batch)
+            float(m["rel_l2"])
+        run(1)  # compile + warm
+        na, nb = (2, 6) if args.quick else (3, 10)
+        t0 = time.perf_counter(); run(na); ta = time.perf_counter() - t0
+        t0 = time.perf_counter(); run(nb); tb = time.perf_counter() - t0
+        return round(b * (nb - na) / max(tb - ta, 1e-9), 0)
 
     results["train_xla_b128_samples_per_s"] = train_rate("xla", 128)
     if on_tpu:
