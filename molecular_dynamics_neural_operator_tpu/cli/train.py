@@ -248,6 +248,26 @@ def _main_fno(args, data_cfg, train_cfg):
     else:
         step = make_fno_window_train_step(cfg, tx)
     eval_step = make_fno_window_eval_step(cfg)
+
+    put = None
+    if args.data_parallel and len(jax.devices()) > 1:
+        # FNO is pure jnp: batch-axis sharding propagates through the
+        # jitted step and XLA inserts the gradient psum (same mechanism as
+        # the GKN teacher path).
+        from molecular_dynamics_neural_operator_tpu.parallel import (
+            make_mesh,
+            shard_batch,
+        )
+
+        if train_cfg.batch_size % len(jax.devices()) != 0:
+            raise ValueError(
+                f"--batch_size {train_cfg.batch_size} must divide by the "
+                f"device count {len(jax.devices())} for --data_parallel"
+            )
+        mesh = make_mesh()
+        put = lambda b: shard_batch(mesh, b)  # noqa: E731
+        print(f"FNO data parallelism: batch sharded over "
+              f"{mesh.shape['data']} devices")
     logger = MetricLogger(run_dir, use_wandb=train_cfg.log_wandb)
     ckpt = BestCheckpointer(run_dir)
     print(f"FNO training: {len(ds)} windows, R={traj.num_residues}")
@@ -258,6 +278,8 @@ def _main_fno(args, data_cfg, train_cfg):
         for batch in batch_iterator(ds, tr_idx, train_cfg.batch_size,
                                     seed=train_cfg.seed, epoch=epoch,
                                     rollout_horizon=train_cfg.rollout_steps):
+            if put is not None:
+                batch = put(batch)
             state, m = step(state, batch)
             tr_loss += float(m["rel_l2"])
             n += 1

@@ -193,3 +193,20 @@ def test_train_cli_profile_flag(h5, tmp_path):
     ])
     trace_dir = run / "trace"
     assert trace_dir.exists() and any(trace_dir.rglob("*"))
+
+
+def test_train_cli_fno_data_parallel(h5, tmp_path):
+    """FNO + --data_parallel: batch sharded over the 8-device mesh."""
+    from molecular_dynamics_neural_operator_tpu.cli import train as cli_train
+
+    run = tmp_path / "runfdp"
+    cli_train.main([
+        "--data_path", str(h5), "--run_path", str(run),
+        "--epochs", "1", "--batch_size", "8", "--lr", "0.001",
+        "--window_size", "4", "--num_residues", "14",
+        "--compute_dtype", "float32",
+        "--generate_movie", "False", "--plot_latent", "False",
+        "--operator", "fno", "--fno_width", "8", "--fno_modes", "4",
+        "--fno_depth", "1", "--rollout_steps", "2", "--data_parallel",
+    ])
+    assert (run / "best.npz").exists()
