@@ -96,7 +96,7 @@ def _kernel(
     root1_ref, bias1_ref, root2_ref, bias2_ref,
     fc2_w_ref, fc2_b_ref,
     m_ref, row_oh_ref, col_oh_ref, rep_ref, red_ref, slots_ref, ones_e_ref,
-    pair_valid_ref,
+    pair_valid_ref, charges_ref, fc1c_ref, phi_pair_ref,
     # outputs
     coords_ref, overflow_ref,
     # scratch
@@ -112,6 +112,10 @@ def _kernel(
     predict_delta: bool,
     compute_dtype: str,
     use_repeat: bool = False,
+    use_dh: bool = False,
+    dh_kappa: float = 0.0,
+    dh_lb: float = 0.0,
+    dh_min_dist: float = 1.0,
 ):
     step = pl.program_id(0)
     f32 = jnp.float32
@@ -190,6 +194,23 @@ def _kernel(
         + jnp.dot(h, fc1b_ref[:], preferred_element_type=f32)
         + fc1_b_ref[:]
     )
+    if use_dh:
+        # Debye-Hueckel node potential from the SAME flat pair distances
+        # the contact test used: per-pair screened-Coulomb contribution
+        # (self/pad pairs masked), scattered back to source nodes with a
+        # one-hot contraction — no transposes, no extra distance pass.
+        dist = jnp.sqrt(jnp.maximum(d2f, dh_min_dist * dh_min_dist))
+        q_dst = jnp.dot(col_oh, charges_ref[:],
+                        preferred_element_type=f32)          # (P, 1)
+        contrib = (
+            dh_lb * q_dst * jnp.exp(-dh_kappa * dist) / dist
+        ) * phi_pair_ref[:]                                  # (P, 1)
+        phi = jax.lax.dot_general(                           # (R, 1)
+            row_oh, contrib,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        x = x + phi * fc1c_ref[:]                            # (R,1)x(1,w)
     x = jnp.maximum(x, 0.0)                                  # (R, w)
 
     # ---- 4. edge-kernel MLP (weights resident); split first layer so the
@@ -280,14 +301,14 @@ def persistent_rollout(
     """Roll the GKN forward ``num_steps`` steps in one kernel launch.
 
     Matches ``rollout_scan(..., graph_frame="last", collect="coords")``
-    semantics on the sparse path with ``max_edges=cfg.max_edges``.
-    Requires ``tie_edge_kernel`` and ``electrostatics="none"``. Returns
+    semantics on the sparse path with ``max_edges=cfg.max_edges``,
+    including ``electrostatics="dh"`` (the screened-Coulomb node feature
+    recomputes in-kernel from the flat pair distances each step).
+    Requires ``tie_edge_kernel``. Returns
     (coords (num_steps, R, 3) f32, diags dict).
     """
     if not cfg.tie_edge_kernel:
         raise ValueError("persistent rollout requires tie_edge_kernel=True")
-    if cfg.electrostatics != "none":
-        raise ValueError("persistent rollout: electrostatics not supported")
     r = int(aa.shape[0])
     if r > 48:
         # The pair-ranking matmul holds a (R_pad^2, R_pad^2) triangular
@@ -349,12 +370,41 @@ def persistent_rollout(
         r_pad * r_pad, 1
     ).astype(np.float32)
 
+    # Debye-Hueckel node feature (cfg.electrostatics == "dh"): per-residue
+    # charges, the extra fc1 row, and the pair mask excluding self pairs.
+    use_dh = cfg.electrostatics == "dh"
+    fc1_w = params["fc1"]["w"]
+    charges = jnp.zeros((r_pad, 1), jnp.float32)
+    fc1c = jnp.zeros((1, width), jnp.float32)
+    dh_kappa = dh_lb = 0.0
+    if use_dh:
+        from molecular_dynamics_neural_operator_tpu.preprocess.grid_jax import (  # noqa: E501
+            _BJERRUM_A_K,
+            AMINO_ACID_CHARGES,
+            debye_kappa,
+        )
+
+        # jnp ops only: aa may be a tracer when the wrapper is jitted
+        charges = charges.at[:r, 0].set(
+            jnp.asarray(AMINO_ACID_CHARGES)[aa % 20]
+        )
+        dh_kappa = debye_kappa(cfg.ionic_strength, cfg.eps_solvent,
+                               cfg.temperature)
+        dh_lb = _BJERRUM_A_K / (cfg.eps_solvent * cfg.temperature)
+        # the phi row (fc1 input layout: [emb ; lstm ; phi])
+        fc1c = fc1_w[cfg.node_features : cfg.node_features + 1]
+    pair = np.arange(r_pad * r_pad)
+    phi_pair = pair_valid * (
+        (pair // r_pad) != (pair % r_pad)
+    ).astype(np.float32)[:, None]
+
     kernel = functools.partial(
         _kernel, t_len=t_len, r_pad=r_pad, e_cap=e_cap, width=width,
         depth=cfg.depth, thr2=float(threshold) ** 2,
         clip=float(clip) if clip is not None else 0.0,
         predict_delta=cfg.predict_delta, compute_dtype=cd_str,
-        use_repeat=use_rep_eff,
+        use_repeat=use_rep_eff, use_dh=use_dh,
+        dh_kappa=float(dh_kappa), dh_lb=float(dh_lb),
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -367,8 +417,8 @@ def persistent_rollout(
         lstm["w_ih"], lstm["w_hh"],
         (lstm["b_ih"] + lstm["b_hh"])[None, :],
         params["lstm_fc"]["w"], params["lstm_fc"]["b"][None, :],
-        params["fc1"]["w"][: cfg.embedding_dim],
-        params["fc1"]["w"][cfg.embedding_dim :],
+        fc1_w[: cfg.embedding_dim],
+        fc1_w[cfg.embedding_dim : cfg.embedding_dim + cfg.x_position_dim],
         params["fc1"]["b"][None, :],
         w1[:3].astype(cd), w1[3:6].astype(cd),
         mlp["layer_0"]["b"][None, :],
@@ -382,6 +432,7 @@ def persistent_rollout(
         jnp.asarray(m_mat), jnp.asarray(row_oh), jnp.asarray(col_oh),
         jnp.asarray(rep), jnp.asarray(red), jnp.asarray(slots),
         jnp.asarray(ones_e), jnp.asarray(pair_valid),
+        jnp.asarray(charges), fc1c, jnp.asarray(phi_pair),
     ]
     in_specs = [const_spec(jnp.shape(x)) for x in inputs]
 

@@ -50,6 +50,24 @@ def test_persistent_matches_scan(r, predict_delta):
     assert bool(diags["edge_overflow"]) == bool(ref_diags["edge_overflow"])
 
 
+def test_persistent_matches_scan_with_electrostatics():
+    """electrostatics="dh" inside the kernel: the screened-Coulomb node
+    feature recomputes from the flat pair distances and must match the
+    XLA path's debye_huckel_at_atoms exactly."""
+    cfg = _cfg(electrostatics="dh")
+    params = gkn_init(jax.random.PRNGKey(2), cfg)
+    traj = synthetic_trajectory(num_frames=6, num_residues=12, seed=8)
+    aa = jnp.asarray(traj.aminoacids)
+    w0 = jnp.asarray(traj.positions[:4])
+    steps = 5
+    ref, _, _ = jax.jit(
+        lambda p, a, w: rollout_scan(p, cfg, a, w, steps)
+    )(params, aa, w0)
+    got, _ = persistent_rollout(params, cfg, aa, w0, steps, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_persistent_overflow_diagnostic():
     """Capacity smaller than the real edge count must raise the overflow
     flag (static shapes cannot error under jit)."""
