@@ -254,18 +254,11 @@ def _main_fno(args, data_cfg, train_cfg):
         # FNO is pure jnp: batch-axis sharding propagates through the
         # jitted step and XLA inserts the gradient psum (same mechanism as
         # the GKN teacher path).
-        from molecular_dynamics_neural_operator_tpu.parallel import (
-            make_mesh,
-            shard_batch,
+        from molecular_dynamics_neural_operator_tpu.parallel.mesh import (
+            data_parallel_put,
         )
 
-        if train_cfg.batch_size % len(jax.devices()) != 0:
-            raise ValueError(
-                f"--batch_size {train_cfg.batch_size} must divide by the "
-                f"device count {len(jax.devices())} for --data_parallel"
-            )
-        mesh = make_mesh()
-        put = lambda b: shard_batch(mesh, b)  # noqa: E731
+        mesh, put = data_parallel_put(train_cfg.batch_size)
         print(f"FNO data parallelism: batch sharded over "
               f"{mesh.shape['data']} devices")
     logger = MetricLogger(run_dir, use_wandb=train_cfg.log_wandb)
@@ -406,11 +399,14 @@ def main(argv=None):
 
     put = None
     data_parallel = args.data_parallel and len(jax.devices()) > 1
-    if data_parallel and train_cfg.batch_size % len(jax.devices()) != 0:
-        raise ValueError(
-            f"--batch_size {train_cfg.batch_size} must be divisible by the "
-            f"device count {len(jax.devices())} for --data_parallel"
+    if data_parallel:
+        from molecular_dynamics_neural_operator_tpu.parallel.mesh import (
+            data_parallel_put,
         )
+
+        # shared divisibility guard; the sharded step factories build
+        # their own put, so only the mesh/validation is reused here
+        data_parallel_put(train_cfg.batch_size)
     if train_cfg.rollout_steps > 0:
         from molecular_dynamics_neural_operator_tpu.train.curriculum import (
             make_curriculum_train_step,

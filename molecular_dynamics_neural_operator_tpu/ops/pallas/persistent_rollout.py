@@ -374,29 +374,34 @@ def persistent_rollout(
     # charges, the extra fc1 row, and the pair mask excluding self pairs.
     use_dh = cfg.electrostatics == "dh"
     fc1_w = params["fc1"]["w"]
-    charges = jnp.zeros((r_pad, 1), jnp.float32)
-    fc1c = jnp.zeros((1, width), jnp.float32)
-    dh_kappa = dh_lb = 0.0
+    dh_kappa = dh_lb = dh_min = 0.0
     if use_dh:
         from molecular_dynamics_neural_operator_tpu.preprocess.grid_jax import (  # noqa: E501
             _BJERRUM_A_K,
             AMINO_ACID_CHARGES,
+            DH_MIN_DIST,
             debye_kappa,
         )
 
         # jnp ops only: aa may be a tracer when the wrapper is jitted
-        charges = charges.at[:r, 0].set(
+        charges = jnp.zeros((r_pad, 1), jnp.float32).at[:r, 0].set(
             jnp.asarray(AMINO_ACID_CHARGES)[aa % 20]
         )
         dh_kappa = debye_kappa(cfg.ionic_strength, cfg.eps_solvent,
                                cfg.temperature)
         dh_lb = _BJERRUM_A_K / (cfg.eps_solvent * cfg.temperature)
+        dh_min = DH_MIN_DIST
         # the phi row (fc1 input layout: [emb ; lstm ; phi])
         fc1c = fc1_w[cfg.node_features : cfg.node_features + 1]
-    pair = np.arange(r_pad * r_pad)
-    phi_pair = pair_valid * (
-        (pair // r_pad) != (pair % r_pad)
-    ).astype(np.float32)[:, None]
+        pair = np.arange(r_pad * r_pad)
+        phi_pair = pair_valid * (
+            (pair // r_pad) != (pair % r_pad)
+        ).astype(np.float32)[:, None]
+    else:
+        # (1, 1) placeholders: no dead VMEM residency on the default path
+        charges = jnp.zeros((1, 1), jnp.float32)
+        fc1c = jnp.zeros((1, 1), jnp.float32)
+        phi_pair = np.zeros((1, 1), np.float32)
 
     kernel = functools.partial(
         _kernel, t_len=t_len, r_pad=r_pad, e_cap=e_cap, width=width,
@@ -405,6 +410,7 @@ def persistent_rollout(
         predict_delta=cfg.predict_delta, compute_dtype=cd_str,
         use_repeat=use_rep_eff, use_dh=use_dh,
         dh_kappa=float(dh_kappa), dh_lb=float(dh_lb),
+        dh_min_dist=float(dh_min),
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 

@@ -112,6 +112,20 @@ def _make_shardmapped_step(cfg, tx, mesh, loss_fn, data_axis="data"):
     return step_jit, put
 
 
+def data_parallel_put(batch_size: int):
+    """Default data mesh + host-batch placement with the divisibility
+    guard — ONE definition for every CLI/data-parallel entry point.
+    Returns (mesh, put)."""
+    n = len(jax.devices())
+    if batch_size % n:
+        raise ValueError(
+            f"batch_size {batch_size} must be divisible by the device "
+            f"count {n} for data parallelism"
+        )
+    mesh = make_mesh()
+    return mesh, lambda b: shard_batch(mesh, b)
+
+
 def make_sharded_train_step(
     cfg: ModelConfig,
     tx,

@@ -30,6 +30,12 @@ import jax.numpy as jnp
 # Bjerrum length prefactor: e^2 / (4 pi eps0 kB) in units of A * K.
 _BJERRUM_A_K = 16712.2
 
+# Minimum interaction distance (A) clamping the screened-Coulomb kernel —
+# ONE definition shared by the on-device feature paths (this module and
+# ops/pallas/persistent_rollout.py must agree or the rollout paths diverge
+# for close contacts).
+DH_MIN_DIST = 1.0
+
 
 def debye_kappa(ionic_strength_M: float = 0.15, eps_s: float = 78.0,
                 temperature: float = 310.0) -> float:
@@ -111,7 +117,7 @@ def debye_huckel_at_atoms(
     eps_s: float = 78.0,
     temperature: float = 310.0,
     ionic_strength_M: float = 0.15,
-    min_dist: float = 1.0,
+    min_dist: float = DH_MIN_DIST,
 ) -> jax.Array:
     """Screened-Coulomb potential (kT/e) AT each atom site from all OTHER
     atoms (self-interaction excluded).
