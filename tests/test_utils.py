@@ -213,3 +213,41 @@ def test_movie_renders(tmp_path):
     assert out.exists()
     pts = select_starting_points(200, 10)
     assert len(pts) == 3 and pts[0] == 0 and pts[1] > 0 and pts[2] > pts[1]
+
+
+def test_restore_subtree_names_shape_mismatch(tmp_path):
+    """A config-mismatched checkpoint restore fails with an error naming
+    the leaf (not an opaque jit shape error)."""
+    import dataclasses
+
+    import pytest
+
+    from molecular_dynamics_neural_operator_tpu.models import gkn_init
+    from molecular_dynamics_neural_operator_tpu.utils.checkpoint import (
+        restore_subtree,
+    )
+
+    cfg = ModelConfig(width=8, ker_width=16, depth=1, window_size=3,
+                      num_residues=6, electrostatics="dh")
+    state, _, _ = create_train_state(jax.random.PRNGKey(0), cfg,
+                                     TrainConfig())
+    path = tmp_path / "dh.npz"
+    save_checkpoint(path, state, {})
+    wrong = gkn_init(jax.random.PRNGKey(0),
+                     dataclasses.replace(cfg, electrostatics="none"))
+    with pytest.raises(ValueError, match=r"fc1.*electrostatics"):
+        restore_subtree(path, wrong, ".params")
+
+
+def test_data_parallel_put_guard():
+    import pytest
+
+    from molecular_dynamics_neural_operator_tpu.parallel.mesh import (
+        data_parallel_put,
+    )
+
+    n = len(jax.devices())
+    mesh, put = data_parallel_put(n * 2)  # divisible: ok
+    assert mesh.devices.size == n
+    with pytest.raises(ValueError, match="divisible"):
+        data_parallel_put(n * 2 + 1)
