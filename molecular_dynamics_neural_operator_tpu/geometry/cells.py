@@ -53,20 +53,15 @@ def _neighbor_offsets() -> Array:
     return jnp.stack([ox.ravel(), oy.ravel(), oz.ravel()], axis=-1)  # (27, 3)
 
 
-def cell_list_edges(
-    pos: Array,
-    cutoff: float = 8.0,
-    max_degree: int = 32,
-    cell_capacity: int = 16,
-    num_cells: int = 4096,
-) -> CellListEdges:
-    """Build a padded neighbor-list edge set for N atoms in O(N).
+def build_cell_table(pos: Array, cutoff: float, cell_capacity: int,
+                     num_cells: int):
+    """Phase 1 of the rebuild: the (num_cells * capacity) atom table.
 
-    pos: (N, 3). Returns CellListEdges with E = N * max_degree slots where
-    slot n*max_degree + d is the d-th neighbor edge (src=neighbor, dst=n,
-    matching the [source; target] convention). num_cells must be a power
-    of two.
-    """
+    Split out so the edge-sharded rollout can run this cheap phase
+    replicated (one sort + one scatter, ~6 ms of the 40 ms 10k-atom
+    rebuild) and shard the per-atom candidate phase over the mesh.
+    Returns (cid (N, 3) int32, table (num_cells * capacity,) int32,
+    cell_overflow bool)."""
     assert num_cells & (num_cells - 1) == 0, "num_cells must be a power of 2"
     n = pos.shape[0]
     cid = jnp.floor(pos / cutoff).astype(jnp.int32)  # (N, 3)
@@ -83,6 +78,40 @@ def cell_list_edges(
     slots = jnp.where(in_cap, h_sorted * cell_capacity + rank, oob)
     table = jnp.full((num_cells * cell_capacity,), -1, jnp.int32)
     table = table.at[slots].set(order.astype(jnp.int32), mode="drop")
+    return cid, table, cell_overflow
+
+
+def cell_list_edges(
+    pos: Array,
+    cutoff: float = 8.0,
+    max_degree: int = 32,
+    cell_capacity: int = 16,
+    num_cells: int = 4096,
+    atom_slice: tuple[int, int] | None = None,
+) -> CellListEdges:
+    """Build a padded neighbor-list edge set for N atoms in O(N).
+
+    pos: (N, 3). Returns CellListEdges with E = N * max_degree slots where
+    slot n*max_degree + d is the d-th neighbor edge (src=neighbor, dst=n,
+    matching the [source; target] convention). num_cells must be a power
+    of two.
+
+    ``atom_slice=(lo, n_local)`` restricts the per-atom candidate phase to
+    atoms [lo, lo + n_local): the result is exactly rows
+    [lo * max_degree, (lo + n_local) * max_degree) of the full edge list
+    (dst indices stay global), which is the edge shard a device owns under
+    the per-atom slot layout — the edge-sharded rollout's rebuild path.
+    ``degree_overflow`` then covers only the local atoms (psum outside).
+    """
+    n = pos.shape[0]
+    cid, table, cell_overflow = build_cell_table(
+        pos, cutoff, cell_capacity, num_cells
+    )
+    lo = 0
+    if atom_slice is not None:
+        lo, n_local = atom_slice
+        cid = jax.lax.dynamic_slice_in_dim(cid, lo, n_local, axis=0)
+        n = n_local
 
     # --- candidates: 27 neighbor cells x cell_capacity per atom.
     # Gathers run at BUCKET-ROW granularity: the atom table and its
@@ -108,7 +137,10 @@ def cell_list_edges(
     bucket_ok = jnp.repeat(~bucket_dup, cell_capacity, axis=1)  # (N, 27*C)
 
     # --- distance filter (empty slots carry pos[0]; masked by cand >= 0)
-    d2 = jnp.sum((cand_pos - pos[:, None, :]) ** 2, axis=-1)
+    own_pos = pos if atom_slice is None else jax.lax.dynamic_slice_in_dim(
+        pos, lo, n, axis=0
+    )
+    d2 = jnp.sum((cand_pos - own_pos[:, None, :]) ** 2, axis=-1)
     valid = (cand >= 0) & bucket_ok & (d2 < cutoff * cutoff)
 
     degree = jnp.sum(valid, axis=1)
@@ -123,7 +155,7 @@ def cell_list_edges(
 
     src = jnp.where(top_valid, top_cand, 0).astype(jnp.int32).reshape(-1)
     dst = jnp.where(
-        top_valid, jnp.arange(n, dtype=jnp.int32)[:, None], 0
+        top_valid, lo + jnp.arange(n, dtype=jnp.int32)[:, None], 0
     ).reshape(-1)
     mask = top_valid.astype(jnp.float32).reshape(-1)
     return CellListEdges(

@@ -91,6 +91,29 @@ def test_jit_and_feeds_sparse_forward():
     assert np.isfinite(np.asarray(y)).all()
 
 
+def test_atom_slice_matches_full_rebuild():
+    """atom_slice=(lo, n_local) must return exactly rows
+    [lo*D, (lo+n_local)*D) of the full edge list (the edge shard a device
+    owns in the edge-sharded rollout)."""
+    rng = np.random.default_rng(7)
+    n, d = 48, 16
+    pos = jnp.asarray((rng.normal(size=(n, 3)) * 6).astype(np.float32))
+    full = cell_list_edges(pos, 8.0, d, 16)
+    for lo, n_local in [(0, 16), (16, 16), (32, 16), (8, 24)]:
+        part = cell_list_edges(pos, 8.0, d, 16, atom_slice=(lo, n_local))
+        sl = slice(lo * d, (lo + n_local) * d)
+        np.testing.assert_array_equal(np.asarray(part.edges),
+                                      np.asarray(full.edges[:, sl]))
+        np.testing.assert_array_equal(np.asarray(part.mask),
+                                      np.asarray(full.mask[sl]))
+    # degree overflow is LOCAL to the slice
+    pos2 = np.zeros((20, 3), np.float32)
+    pos2[10:] += 100.0  # second half far away, degree 10 each half
+    out_lo = cell_list_edges(jnp.asarray(pos2), 8.0, 4, 32,
+                             atom_slice=(0, 10))
+    assert bool(out_lo.degree_overflow)
+
+
 def test_cell_list_rollout_matches_dense_rank():
     """Rollout with the O(N) cell-list rebuild equals the exact dense-rank
     rebuild (mean aggregation is edge-order invariant)."""

@@ -429,3 +429,41 @@ def test_edge_sharded_rollout_matches_single_device(sparse_cfg):
     np.testing.assert_allclose(np.asarray(final_w), np.asarray(ref_final),
                                rtol=1e-4, atol=1e-4)
     assert not bool(diags["edge_overflow"])
+
+
+def test_edge_sharded_rollout_sharded_cell_rebuild():
+    """Cell-list path with the PER-ATOM rebuild phase sharded over the
+    model axis (each device rebuilds only its own atom slice, whose edge
+    rows are exactly its edge shard) — must match the single-device
+    cell-list rollout."""
+    import dataclasses
+
+    from molecular_dynamics_neural_operator_tpu.parallel import (
+        make_edge_sharded_rollout_fn,
+    )
+    from molecular_dynamics_neural_operator_tpu.rollout import (
+        make_rollout_fn,
+    )
+
+    n, d = 16, 16
+    cfg = ModelConfig(width=8, ker_width=16, depth=1, window_size=3,
+                      num_residues=n, graph_mode="sparse",
+                      compute_dtype="float32", predict_delta=True,
+                      neighbor_impl="cell_list", max_degree=d,
+                      max_edges=n * d, cell_capacity=16)
+    params = gkn_init(jax.random.PRNGKey(1), cfg)
+    traj_pos = jax.random.normal(
+        jax.random.PRNGKey(6), (cfg.window_size, n, 3)
+    ) * 4.0
+    aa = jnp.arange(n, dtype=jnp.int32) % 20
+
+    ref, ref_final, _ = make_rollout_fn(cfg, num_steps=4)(params, aa,
+                                                          traj_pos)
+    mesh = make_mesh(MeshConfig(data=1, model=8))
+    roll = make_edge_sharded_rollout_fn(cfg, mesh, num_steps=4)
+    out, final_w, diags = roll(params, aa, traj_pos)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(final_w), np.asarray(ref_final),
+                               rtol=1e-4, atol=1e-4)
+    assert not bool(diags["edge_overflow"])
