@@ -133,9 +133,21 @@ def main(argv=None):
             jnp.asarray(traj.positions[st : st + cfg.window_size])
             for st in starts
         ])
-        roll = make_rollout_fn(cfg, args.num_steps, args.threshold,
-                               clip=args.clip, batched=True,
-                               stream_chunk=args.stream_chunk)
+        if args.impl == "persistent":
+            # all streams inside ONE kernel launch: weights resident
+            # across the step grid AND the in-kernel stream loop, live
+            # memory bounded at one stream's intermediates
+            from molecular_dynamics_neural_operator_tpu.ops.pallas.persistent_rollout import (  # noqa: E501
+                make_persistent_rollout_fn,
+            )
+
+            roll = make_persistent_rollout_fn(cfg, args.num_steps,
+                                              args.threshold,
+                                              clip=args.clip)
+        else:
+            roll = make_rollout_fn(cfg, args.num_steps, args.threshold,
+                                   clip=args.clip, batched=True,
+                                   stream_chunk=args.stream_chunk)
         t0 = time.time()
         coords, _, diags = roll(params, aa, w0s)
         coords = np.asarray(jax.block_until_ready(coords))

@@ -13,10 +13,16 @@ per-step HBM traffic is the (R, 3) output block.
 Each grid step runs the full reference step semantics
 (``/root/reference/graph_kernel.py:396-413`` + ``:362-393``):
 
-1. contact map of the window's LAST frame (squared-distance matmul trick),
-2. padded-edge extraction WITHOUT gather/scatter: inclusive-cumsum ranking
-   by a triangular matmul, slot-assignment one-hot, and the source/target
-   incidence matrices G/D produced directly as (E, R) matmuls,
+1. contact map of the window's LAST frame (broadcast squared distances),
+2. padded-edge extraction WITHOUT gather/scatter, in native (R, R) matrix
+   layout: per-row contact counts + an exclusive row-offset cumsum via a
+   tiny (R, R) triangular matmul, intra-row ranks via a second (R, R)
+   matmul, then the source incidence G (E, R) by interval comparison of
+   slot ids against the row offsets and the target incidence D by matching
+   intra-row ranks on G-gathered rows. Everything is O(R^3 + E*R^2) — the
+   earlier flat formulation ranked all R^2 pairs against a (R^2, R^2)
+   triangular constant, which cost ~5 us/step at R=28 and capped the
+   kernel at 48 residues on VMEM,
 3. per-residue LSTM over the window + embedding + fc1,
 4. edge-kernel MLP on the MXU (weights resident),
 5. 2*depth weight-tied conv layers with the per-edge matvec in REP/RED
@@ -55,19 +61,16 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.lru_cache(maxsize=8)
 def _static_mats(r_pad: int, width: int, dtype_str: str):
-    """Constant 0/1 matrices: inclusive-cumsum lower-triangular M (P, P)
-    (M[p, q] = 1 iff q <= p, so rank = M @ flat), pair->row/col one-hots
-    (P, R_pad), REP (w, w^2), RED (w^2, w). Everything operates on FLAT
-    (P, 1)/(P, E) column layouts — Mosaic rejects (R, R) <-> (1, P) shape
-    casts, so the pair axis lives on sublanes end to end."""
+    """Constant matrices for the (R, R)-layout extraction: identity (used
+    as an exact transpose-by-matmul, Mosaic-safe), STRICT lower-triangular
+    ones (exclusive cumsum of per-row edge counts), upper-triangular ones
+    incl. diagonal (inclusive intra-row cumsum: intra = C @ U), plus the
+    conv-loop REP (w, w^2) / RED (w^2, w) forms. All f32 except REP/RED,
+    which ride the compute dtype."""
     dt = np.float32
-    p = r_pad * r_pad
-    m = np.tril(np.ones((p, p), np.float32))
-    pair = np.arange(p)
-    row_oh = np.zeros((p, r_pad), np.float32)
-    row_oh[pair, pair // r_pad] = 1.0
-    col_oh = np.zeros((p, r_pad), np.float32)
-    col_oh[pair, pair % r_pad] = 1.0
+    eye = np.eye(r_pad, dtype=np.float32)
+    strict_l = np.tril(np.ones((r_pad, r_pad), np.float32), k=-1)
+    u_incl = np.triu(np.ones((r_pad, r_pad), np.float32))
     rep = np.zeros((width, width * width), np.float32)
     for wi in range(width):
         rep[wi, wi * width : (wi + 1) * width] = 1.0
@@ -82,8 +85,7 @@ def _static_mats(r_pad: int, width: int, dtype_str: str):
         import ml_dtypes
 
         dt = ml_dtypes.bfloat16
-    # row/col one-hots stay f32: they perform exact coordinate selection
-    return (m.astype(dt), row_oh, col_oh, rep.astype(dt), red.astype(dt),
+    return (eye, strict_l, u_incl, rep.astype(dt), red.astype(dt),
             red_t.astype(dt))
 
 
@@ -95,8 +97,8 @@ def _kernel(
     w1a_ref, w1b_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     root1_ref, bias1_ref, root2_ref, bias2_ref,
     fc2_w_ref, fc2_b_ref,
-    m_ref, row_oh_ref, col_oh_ref, rep_ref, red_ref, slots_ref, ones_e_ref,
-    pair_valid_ref, charges_ref, fc1c_ref, phi_pair_ref,
+    eye_ref, strictl_ref, u_ref, rep_ref, red_ref, slots_ref, ones_r_ref,
+    ones_e_ref, pair_valid_ref, charges_ref, fc1c_ref, phi_pair_ref,
     # outputs
     coords_ref, overflow_ref,
     # scratch
@@ -116,6 +118,7 @@ def _kernel(
     dh_kappa: float = 0.0,
     dh_lb: float = 0.0,
     dh_min_dist: float = 1.0,
+    streams: int = 1,
 ):
     step = pl.program_id(0)
     f32 = jnp.float32
@@ -126,165 +129,205 @@ def _kernel(
         window_ref[:] = window0_ref[:]
         overflow_ref[:, :] = jnp.zeros((1, 1), f32)
 
-    pos = window_ref[t_len - 1]  # (R_pad, 3) f32; pads at far sentinels
-
-    # ---- 1+2. contact test + edge extraction, entirely in FLAT column
-    # layout (pair axis on sublanes): gather both endpoints of every pair
-    # with the static one-hot matmuls, threshold the squared distance,
-    # rank set pairs with a triangular matmul, build the slot-assignment
-    # one-hot, and contract it into the (E, R) incidence matrices.
-    row_oh = row_oh_ref[:]                                  # (P, R) f32
-    col_oh = col_oh_ref[:]                                  # (P, R) f32
-    # selection matmuls stay f32: a one-hot row has ONE nonzero term, so
-    # the contact test sees full-precision coordinates (parity with the
-    # XLA path's f32 contact_map even under bf16 compute).
-    p_src = jnp.dot(row_oh, pos, preferred_element_type=f32)  # (P, 3)
-    p_dst = jnp.dot(col_oh, pos, preferred_element_type=f32)  # (P, 3)
-    diff = p_src - p_dst
-    d2f = jnp.sum(diff * diff, axis=1, keepdims=True)       # (P, 1)
-    # pair_valid zeroes every pair touching a pad residue — without it the
-    # pad SELF-pairs (distance 0) would become real unmasked edges whose
-    # kernel values blow up over the conv layers.
-    flat = (d2f < thr2).astype(f32) * pair_valid_ref[:]     # (P, 1)
-    rank = jnp.dot(
-        m_ref[:], flat.astype(m_ref.dtype), preferred_element_type=f32
-    )                                                        # (P, 1)
-    count = jnp.sum(flat)
-    slots = slots_ref[:]                                     # (1, E) 1..E
-    assign_t = jnp.where(
-        (rank == slots) & (flat > 0.0), 1.0, 0.0
-    )                                                        # (P, E) f32
-    g = jax.lax.dot_general(                                 # (E, R)
-        assign_t, row_oh,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=f32,
-    )
-    d = jax.lax.dot_general(                                 # (E, R)
-        assign_t, col_oh,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=f32,
-    )
-    mask = jnp.sum(g, axis=1, keepdims=True)                 # (E, 1)
-    deg_col = jax.lax.dot_general(                           # (R, 1)
-        d, ones_e_ref[:],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=f32,
-    )
-    inv_deg = 1.0 / jnp.maximum(deg_col, 1.0)                # (R, 1)
-
-    # ---- 3. LSTM window encoder + embedding + fc1
-    h = jnp.zeros((r_pad, 3), f32)
-    c = jnp.zeros((r_pad, 3), f32)
-    for t in range(t_len):
-        x_t = window_ref[t]
-        gates = (
-            jnp.dot(x_t, lstm_wih_ref[:], preferred_element_type=f32)
-            + jnp.dot(h, lstm_whh_ref[:], preferred_element_type=f32)
-            + lstm_b_ref[:]
-        )
-        i_g = jax.nn.sigmoid(gates[:, 0:3])
-        f_g = jax.nn.sigmoid(gates[:, 3:6])
-        g_g = jnp.tanh(gates[:, 6:9])
-        o_g = jax.nn.sigmoid(gates[:, 9:12])
-        c = f_g * c + i_g * g_g
-        h = o_g * jnp.tanh(c)
-    h = jnp.dot(h, lfc_w_ref[:], preferred_element_type=f32) + lfc_b_ref[:]
-    x = (
-        jnp.dot(emb_aa_ref[:], fc1a_ref[:], preferred_element_type=f32)
-        + jnp.dot(h, fc1b_ref[:], preferred_element_type=f32)
-        + fc1_b_ref[:]
-    )
-    if use_dh:
-        # Debye-Hueckel node potential from the SAME flat pair distances
-        # the contact test used: per-pair screened-Coulomb contribution
-        # (self/pad pairs masked), scattered back to source nodes with a
-        # one-hot contraction — no transposes, no extra distance pass.
-        dist = jnp.sqrt(jnp.maximum(d2f, dh_min_dist * dh_min_dist))
-        q_dst = jnp.dot(col_oh, charges_ref[:],
-                        preferred_element_type=f32)          # (P, 1)
-        contrib = (
-            dh_lb * q_dst * jnp.exp(-dh_kappa * dist) / dist
-        ) * phi_pair_ref[:]                                  # (P, 1)
-        phi = jax.lax.dot_general(                           # (R, 1)
-            row_oh, contrib,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        )
-        x = x + phi * fc1c_ref[:]                            # (R,1)x(1,w)
-    x = jnp.maximum(x, 0.0)                                  # (R, w)
-
-    # ---- 4. edge-kernel MLP (weights resident); split first layer so the
-    # [pos_src ; pos_dst] concat never materializes
-    gp = jnp.dot(g.astype(cd), pos.astype(cd), preferred_element_type=f32)
-    dp = jnp.dot(d.astype(cd), pos.astype(cd), preferred_element_type=f32)
-    h1 = (
-        jnp.dot(gp.astype(cd), w1a_ref[:], preferred_element_type=f32)
-        + jnp.dot(dp.astype(cd), w1b_ref[:], preferred_element_type=f32)
-        + b1_ref[:]
-    )
-    h1 = jnp.maximum(h1, 0.0).astype(cd)
-    h2 = jnp.dot(h1, w2_ref[:], preferred_element_type=f32) + b2_ref[:]
-    h2 = jnp.maximum(h2, 0.0).astype(cd)
-    kt = jnp.dot(h2, w3_ref[:], preferred_element_type=f32) + b3_ref[:]
-    k_ref[:] = (kt * mask).astype(cd)                        # (E, w^2)
-
-    # ---- 5. 2*depth weight-tied conv layers.
-    # Per-edge matvec in REP/RED form with the reduction REORDERED:
-    #   agg = D^T @ ((xs @ REP) * K) @ RED  ==  (D^T @ prod) @ RED
-    # so the big contractions run at R rows (32) instead of E rows (256),
-    # and the (E, w) message tensor never materializes. REP is a selection
-    # matmul (one nonzero per output) so bf16 accumulation is exact — no
-    # f32 round-trip cast passes over the (E, w^2) tensors.
-    g_cd = g.astype(cd)
-    d_cd = d.astype(cd)
-    kt_res = k_ref[:]
-    for layer in range(2 * depth):
-        root = root1_ref[:] if layer < depth else root2_ref[:]
-        bias = bias1_ref[:] if layer < depth else bias2_ref[:]
-        # (Mosaic requires 32-bit matmul accumulators; selection matmuls
-        # are exact regardless, the casts back to cd are cheap VPU passes.)
-        xs = jnp.dot(
-            g_cd, x.astype(cd), preferred_element_type=f32
-        ).astype(cd)                                         # (E, w)
-        if use_repeat:
-            rep = pltpu.repeat(xs, width, axis=1)            # (E, w^2)
-        else:
-            rep = jnp.dot(
-                xs, rep_ref[:], preferred_element_type=f32
-            ).astype(cd)
-        prod = rep * kt_res                                  # (E, w^2) cd
-        node_prod = jax.lax.dot_general(                     # (R, w^2)
-            d_cd, prod,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        )
-        agg = jnp.dot(
-            node_prod.astype(cd), red_ref[:], preferred_element_type=f32
-        )                                                    # (R, w)
-        agg = agg * inv_deg
-        rootx = jnp.dot(x.astype(cd), root, preferred_element_type=f32)
-        x = jnp.maximum(agg + rootx + bias, 0.0)
-
-    # ---- 6. head, safety rail, window slide
-    out = jnp.dot(x.astype(cd), fc2_w_ref[:], preferred_element_type=f32)
-    out = out + fc2_b_ref[:]
-    if predict_delta:
-        out = out + pos
-    if clip > 0:
-        out = jnp.clip(out, -clip, clip)
+    eye = eye_ref[:]                                         # (R, R) f32
+    slots = slots_ref[:]                                     # (E, 1) 1..E
     valid = valid_ref[:]                                     # (R, 1)
-    # where, not arithmetic mixing: 0 * inf from a saturated pad row would
-    # inject NaN into the window.
-    out = jnp.where(valid > 0.0, out, sentinel_ref[:])
 
-    for t in range(t_len - 1):
-        window_ref[t] = window_ref[t + 1]
-    window_ref[t_len - 1] = out
-    coords_ref[0] = out
-    overflow_ref[:, :] = jnp.maximum(
-        overflow_ref[:, :],
-        jnp.where(count > e_cap, 1.0, 0.0).reshape(1, 1),
-    )
+    def stream_step(s, carry):
+        """One rollout step for stream ``s`` (python int 0 when streams==1,
+        traced loop index otherwise — refs index dynamically either way)."""
+        pos = window_ref[s, t_len - 1]  # (R_pad, 3); pads at far sentinels
+
+        # ---- 1+2. contact test + edge extraction, in native (R, R)
+        # matrix layout (rows = source i, cols = target j; row-major edge
+        # order — identical to padded_edges_device,
+        # geometry/contact.py:124-160).
+        # NATIVE transpose, not a dot against identity: Mosaic lowers
+        # in-kernel f32 matmuls at bf16-pass precision, so a "selection"
+        # transpose-by-matmul ROUNDS the coordinates (measured 3e-2 error
+        # on chip) and flips borderline contacts vs the XLA scan.
+        # jnp.transpose is exact (verified on chip).
+        pos_t = jnp.transpose(pos)                           # (3, R)
+        d2 = None
+        for axis in range(3):
+            dc = pos[:, axis : axis + 1] - pos_t[axis : axis + 1, :]
+            d2 = dc * dc if d2 is None else d2 + dc * dc     # (R, R)
+        # pair_valid zeroes every pair touching a pad residue — without it
+        # the pad SELF-pairs (distance 0) would become real unmasked edges
+        # whose kernel values blow up over the conv layers.
+        cmat = jnp.where(d2 < thr2, 1.0, 0.0) * pair_valid_ref[:]  # (R, R)
+        rowcount = jnp.dot(cmat, ones_r_ref[:],
+                           preferred_element_type=f32)       # (R, 1)
+        row_off = jnp.dot(strictl_ref[:], rowcount,
+                          preferred_element_type=f32)        # (R, 1) excl.
+        intra = jnp.dot(cmat, u_ref[:],
+                        preferred_element_type=f32)          # (R, R)
+        count = jnp.sum(rowcount)
+        # native transposes: row_off holds integers up to count (> 256 at
+        # larger capacities), beyond bf16's exact-integer range — a
+        # transpose-by-matmul would round them (see pos_t note).
+        ro_t = jnp.transpose(row_off)                        # (1, R)
+        rc_t = jnp.transpose(rowcount)                       # (1, R)
+        # Source incidence: row-major rank order means slot e's source is
+        # the unique i with row_off[i] < e <= row_off[i] + rowcount[i]
+        # (row counts partition 1..count into consecutive intervals);
+        # slots past the real count match no interval -> all-zero row.
+        g = jnp.where(
+            (slots > ro_t) & (slots <= ro_t + rc_t), 1.0, 0.0
+        )                                                    # (E, R) f32
+        # Target incidence: gather slot e's source row of C / intra with G
+        # and match its intra-row rank l = e - row_off[src]. HIGHEST
+        # precision: row_off's integers exceed 256 at larger capacities
+        # and Mosaic's default bf16-pass matmul would round them; the
+        # other extraction matmuls only carry 0/1 or counts <= R.
+        l_intra = slots - jnp.dot(g, row_off,
+                                  preferred_element_type=f32,
+                                  precision=jax.lax.Precision.HIGHEST)
+        c_row = jnp.dot(g, cmat, preferred_element_type=f32)  # (E, R)
+        intra_row = jnp.dot(g, intra,
+                            preferred_element_type=f32)      # (E, R)
+        d = c_row * jnp.where(intra_row == l_intra, 1.0, 0.0)  # (E, R)
+        # Layout laundering: G came off the VPU (broadcast compares) and D
+        # off an elementwise multiply; both feed 2*depth+2 matmuls below.
+        # One identity matmul each re-materializes them in MXU-native
+        # layout — measured +1k steps/s (31.4k vs 30.5k) on the chip,
+        # exact (0/1 times identity in f32).
+        g = jnp.dot(g, eye, preferred_element_type=f32)
+        d = jnp.dot(d, eye, preferred_element_type=f32)
+        mask = jnp.where(slots <= count, 1.0, 0.0)           # (E, 1)
+        deg_col = jax.lax.dot_general(                       # (R, 1)
+            d, ones_e_ref[:],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        inv_deg = 1.0 / jnp.maximum(deg_col, 1.0)            # (R, 1)
+
+        # ---- 3. LSTM window encoder + embedding + fc1
+        h = jnp.zeros((r_pad, 3), f32)
+        c = jnp.zeros((r_pad, 3), f32)
+        for t in range(t_len):
+            x_t = window_ref[s, t]
+            gates = (
+                jnp.dot(x_t, lstm_wih_ref[:], preferred_element_type=f32)
+                + jnp.dot(h, lstm_whh_ref[:], preferred_element_type=f32)
+                + lstm_b_ref[:]
+            )
+            i_g = jax.nn.sigmoid(gates[:, 0:3])
+            f_g = jax.nn.sigmoid(gates[:, 3:6])
+            g_g = jnp.tanh(gates[:, 6:9])
+            o_g = jax.nn.sigmoid(gates[:, 9:12])
+            c = f_g * c + i_g * g_g
+            h = o_g * jnp.tanh(c)
+        h = (jnp.dot(h, lfc_w_ref[:], preferred_element_type=f32)
+             + lfc_b_ref[:])
+        x = (
+            jnp.dot(emb_aa_ref[:], fc1a_ref[:], preferred_element_type=f32)
+            + jnp.dot(h, fc1b_ref[:], preferred_element_type=f32)
+            + fc1_b_ref[:]
+        )
+        if use_dh:
+            # Debye-Hueckel node potential from the SAME (R, R) pair
+            # distances the contact test used: per-pair screened-Coulomb
+            # contribution (self/pad pairs masked by phi_pair), summed
+            # over targets with a ones matvec — no gathers, no extra
+            # distance pass.
+            dist = jnp.sqrt(jnp.maximum(d2, dh_min_dist * dh_min_dist))
+            q_t = jnp.transpose(charges_ref[:])              # (1, R) exact
+            contrib = (
+                dh_lb * q_t * jnp.exp(-dh_kappa * dist) / dist
+            ) * phi_pair_ref[:]                              # (R, R)
+            phi = jnp.dot(contrib, ones_r_ref[:],
+                          preferred_element_type=f32)        # (R, 1)
+            x = x + phi * fc1c_ref[:]                        # (R,1)x(1,w)
+        x = jnp.maximum(x, 0.0)                              # (R, w)
+
+        # ---- 4. edge-kernel MLP (weights resident); split first layer so
+        # the [pos_src ; pos_dst] concat never materializes
+        gp = jnp.dot(g.astype(cd), pos.astype(cd),
+                     preferred_element_type=f32)
+        dp = jnp.dot(d.astype(cd), pos.astype(cd),
+                     preferred_element_type=f32)
+        h1 = (
+            jnp.dot(gp.astype(cd), w1a_ref[:], preferred_element_type=f32)
+            + jnp.dot(dp.astype(cd), w1b_ref[:],
+                      preferred_element_type=f32)
+            + b1_ref[:]
+        )
+        h1 = jnp.maximum(h1, 0.0).astype(cd)
+        h2 = jnp.dot(h1, w2_ref[:], preferred_element_type=f32) + b2_ref[:]
+        h2 = jnp.maximum(h2, 0.0).astype(cd)
+        kt = jnp.dot(h2, w3_ref[:], preferred_element_type=f32) + b3_ref[:]
+        k_ref[:] = (kt * mask).astype(cd)                    # (E, w^2)
+
+        # ---- 5. 2*depth weight-tied conv layers.
+        # Per-edge matvec in REP/RED form with the reduction REORDERED:
+        #   agg = D^T @ ((xs @ REP) * K) @ RED  ==  (D^T @ prod) @ RED
+        # so the big contractions run at R rows (32) instead of E rows
+        # (256), and the (E, w) message tensor never materializes. REP is
+        # a selection matmul (one nonzero per output) so bf16 accumulation
+        # is exact — no f32 round-trip cast passes over the (E, w^2)
+        # tensors.
+        g_cd = g.astype(cd)
+        d_cd = d.astype(cd)
+        kt_res = k_ref[:]
+        for layer in range(2 * depth):
+            root = root1_ref[:] if layer < depth else root2_ref[:]
+            bias = bias1_ref[:] if layer < depth else bias2_ref[:]
+            # (Mosaic requires 32-bit matmul accumulators; selection
+            # matmuls are exact regardless, the casts back to cd are
+            # cheap VPU passes.)
+            xs = jnp.dot(
+                g_cd, x.astype(cd), preferred_element_type=f32
+            ).astype(cd)                                     # (E, w)
+            if use_repeat:
+                rep = pltpu.repeat(xs, width, axis=1)        # (E, w^2)
+            else:
+                rep = jnp.dot(
+                    xs, rep_ref[:], preferred_element_type=f32
+                ).astype(cd)
+            prod = rep * kt_res                              # (E, w^2) cd
+            node_prod = jax.lax.dot_general(                 # (R, w^2)
+                d_cd, prod,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            agg = jnp.dot(
+                node_prod.astype(cd), red_ref[:],
+                preferred_element_type=f32,
+            )                                                # (R, w)
+            agg = agg * inv_deg
+            rootx = jnp.dot(x.astype(cd), root,
+                            preferred_element_type=f32)
+            x = jnp.maximum(agg + rootx + bias, 0.0)
+
+        # ---- 6. head, safety rail, window slide
+        out = jnp.dot(x.astype(cd), fc2_w_ref[:],
+                      preferred_element_type=f32)
+        out = out + fc2_b_ref[:]
+        if predict_delta:
+            out = out + pos
+        if clip > 0:
+            out = jnp.clip(out, -clip, clip)
+        # where, not arithmetic mixing: 0 * inf from a saturated pad row
+        # would inject NaN into the window.
+        out = jnp.where(valid > 0.0, out, sentinel_ref[:])
+
+        for t in range(t_len - 1):
+            window_ref[s, t] = window_ref[s, t + 1]
+        window_ref[s, t_len - 1] = out
+        coords_ref[0, s] = out
+        overflow_ref[:, :] = jnp.maximum(
+            overflow_ref[:, :],
+            jnp.where(count > e_cap, 1.0, 0.0).reshape(1, 1),
+        )
+        return carry
+
+    if streams == 1:
+        stream_step(0, 0)
+    else:
+        # Sequential streams per grid step: weights and constants stay
+        # resident across BOTH loops; live intermediates are one stream's.
+        jax.lax.fori_loop(0, streams, stream_step, 0)
 
 
 def persistent_rollout(
@@ -303,24 +346,43 @@ def persistent_rollout(
     Matches ``rollout_scan(..., graph_frame="last", collect="coords")``
     semantics on the sparse path with ``max_edges=cfg.max_edges``,
     including ``electrostatics="dh"`` (the screened-Coulomb node feature
-    recomputes in-kernel from the flat pair distances each step).
-    Requires ``tie_edge_kernel``. Returns
-    (coords (num_steps, R, 3) f32, diags dict).
+    recomputes in-kernel from the (R, R) pair distances each step).
+    Requires ``tie_edge_kernel``.
+
+    ``window0``: (T, R, 3) for one stream -> (coords (num_steps, R, 3),
+    diags), or (S, T, R, 3) for S streams of the same protein -> (coords
+    (S, num_steps, R, 3), diags) — the multi-stream serving form: the
+    grid still walks steps, and a sequential in-kernel loop walks streams
+    with ALL weights resident across both loops, so per-chip throughput
+    stays near the single-stream rate times S without the (S, E, w, w)
+    HBM spill the batched XLA scan hits past ~32 streams.
     """
     if not cfg.tie_edge_kernel:
         raise ValueError("persistent rollout requires tie_edge_kernel=True")
     r = int(aa.shape[0])
-    if r > 48:
-        # The pair-ranking matmul holds a (R_pad^2, R_pad^2) triangular
-        # constant in VMEM: fine for fast folders (BBA 28, villin 35),
-        # quadratic beyond. Larger systems use the XLA scan (rollout/scan)
-        # with the cell-list rebuild.
-        raise ValueError(
-            f"persistent rollout supports <=48 residues (got {r}); use "
-            "rollout/scan.py for larger systems"
-        )
     t_len, width, kw = cfg.window_size, cfg.width, cfg.ker_width
     e_cap = cfg.max_edges
+    window0 = jnp.asarray(window0, jnp.float32)
+    batched = window0.ndim == 4
+    streams = int(window0.shape[0]) if batched else 1
+    # VMEM budget guard: the kernel-tensor scratch plus the two (E, w^2)
+    # conv-loop intermediates plus the resident MLP weights must fit the
+    # ~100 MB VMEM window. (The (R, R)-layout extraction itself is O(R^2)
+    # and never binds first — the old flat formulation's (R^2, R^2)
+    # ranking constant capped the kernel at 48 residues.)
+    cd_bytes = 4 if cfg.compute_dtype == "float32" else 2
+    vmem_est = (
+        3 * e_cap * width * width * cd_bytes
+        + (kw * width * width + kw * kw) * cd_bytes
+        + 4 * _round_up(r, 8) ** 2 * 4
+        + 2 * streams * (t_len + 1) * _round_up(r, 8) * 3 * 4
+    )
+    if vmem_est > 90 * 1024 * 1024:
+        raise ValueError(
+            f"persistent rollout working set ~{vmem_est / 2**20:.0f} MB "
+            f"exceeds the VMEM budget (max_edges={e_cap}, width={width}, "
+            f"ker_width={kw}); use rollout/scan.py for larger systems"
+        )
     r_pad = _round_up(r, 8)
     cd_str = cfg.compute_dtype
     cd = jnp.float32 if cd_str == "float32" else jnp.bfloat16
@@ -332,11 +394,12 @@ def persistent_rollout(
     valid = np.zeros((r_pad, 1), np.float32)
     valid[:r] = 1.0
 
-    window0 = jnp.asarray(window0, jnp.float32)
-    w0 = jnp.concatenate(
-        [window0, jnp.broadcast_to(jnp.asarray(sentinel[r:]),
-                                   (t_len, r_pad - r, 3))], axis=1
-    ) if r_pad > r else window0
+    w0 = window0 if batched else window0[None]  # (S, T, R, 3)
+    if r_pad > r:
+        w0 = jnp.concatenate(
+            [w0, jnp.broadcast_to(jnp.asarray(sentinel[r:]),
+                                  (streams, t_len, r_pad - r, 3))], axis=2
+        )
 
     emb_aa = jnp.zeros((r_pad, cfg.embedding_dim), jnp.float32)
     emb_aa = emb_aa.at[:r].set(params["emb"][aa])
@@ -348,7 +411,7 @@ def persistent_rollout(
     lstm = params["lstm"]
 
     use_rep_eff = use_repeat and not interpret
-    m_mat, row_oh, col_oh, rep, red, red_t = _static_mats(
+    eye, strict_l, u_incl, rep, red, red_t = _static_mats(
         r_pad, width, cd_str
     )
     if use_rep_eff:
@@ -364,11 +427,12 @@ def persistent_rollout(
         w3 = w3[:, perm]
         b3 = b3[perm]
         red = red_t
-    slots = np.arange(1, e_cap + 1, dtype=np.float32)[None, :]  # (1, E)
+    slots = np.arange(1, e_cap + 1, dtype=np.float32)[:, None]  # (E, 1)
+    ones_r = np.ones((r_pad, 1), np.float32)
     ones_e = np.ones((e_cap, 1), np.float32)
-    pair_valid = (valid.reshape(-1, 1) * valid.reshape(1, -1)).reshape(
-        r_pad * r_pad, 1
-    ).astype(np.float32)
+    pair_valid = (valid.reshape(-1, 1) * valid.reshape(1, -1)).astype(
+        np.float32
+    )  # (R_pad, R_pad)
 
     # Debye-Hueckel node feature (cfg.electrostatics == "dh"): per-residue
     # charges, the extra fc1 row, and the pair mask excluding self pairs.
@@ -393,10 +457,9 @@ def persistent_rollout(
         dh_min = DH_MIN_DIST
         # the phi row (fc1 input layout: [emb ; lstm ; phi])
         fc1c = fc1_w[cfg.node_features : cfg.node_features + 1]
-        pair = np.arange(r_pad * r_pad)
         phi_pair = pair_valid * (
-            (pair // r_pad) != (pair % r_pad)
-        ).astype(np.float32)[:, None]
+            1.0 - np.eye(r_pad, dtype=np.float32)
+        )  # (R_pad, R_pad): self pairs excluded
     else:
         # (1, 1) placeholders: no dead VMEM residency on the default path
         charges = jnp.zeros((1, 1), jnp.float32)
@@ -410,7 +473,7 @@ def persistent_rollout(
         predict_delta=cfg.predict_delta, compute_dtype=cd_str,
         use_repeat=use_rep_eff, use_dh=use_dh,
         dh_kappa=float(dh_kappa), dh_lb=float(dh_lb),
-        dh_min_dist=float(dh_min),
+        dh_min_dist=float(dh_min), streams=streams,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -435,9 +498,9 @@ def persistent_rollout(
         params["conv2"]["root"].astype(cd),
         params["conv2"]["bias"][None, :],
         params["fc2"]["w"].astype(cd), params["fc2"]["b"][None, :],
-        jnp.asarray(m_mat), jnp.asarray(row_oh), jnp.asarray(col_oh),
+        jnp.asarray(eye), jnp.asarray(strict_l), jnp.asarray(u_incl),
         jnp.asarray(rep), jnp.asarray(red), jnp.asarray(slots),
-        jnp.asarray(ones_e), jnp.asarray(pair_valid),
+        jnp.asarray(ones_r), jnp.asarray(ones_e), jnp.asarray(pair_valid),
         jnp.asarray(charges), fc1c, jnp.asarray(phi_pair),
     ]
     in_specs = [const_spec(jnp.shape(x)) for x in inputs]
@@ -446,18 +509,19 @@ def persistent_rollout(
         kernel,
         grid=(num_steps,),
         out_shape=(
-            jax.ShapeDtypeStruct((num_steps, r_pad, 3), jnp.float32),
+            jax.ShapeDtypeStruct((num_steps, streams, r_pad, 3),
+                                 jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, r_pad, 3), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, streams, r_pad, 3), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((t_len, r_pad, 3), jnp.float32),
+            pltpu.VMEM((streams, t_len, r_pad, 3), jnp.float32),
             pltpu.VMEM((e_cap, width * width), cd),
         ],
         interpret=interpret,
@@ -465,7 +529,12 @@ def persistent_rollout(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(*inputs)
-    return coords[:, :r], {"edge_overflow": overflow[0, 0] > 0}
+    diags = {"edge_overflow": overflow[0, 0] > 0}
+    if batched:
+        # (num_steps, S, R, 3) -> (S, num_steps, R, 3): the batched XLA
+        # rollout's stream-major convention (rollout/scan.py, vmap axis 0)
+        return jnp.swapaxes(coords[:, :, :r], 0, 1), diags
+    return coords[:, 0, :r], diags
 
 
 def make_persistent_rollout_fn(cfg, num_steps: int, threshold: float = 8.0,
@@ -491,12 +560,19 @@ def make_persistent_rollout_fn(cfg, num_steps: int, threshold: float = 8.0,
             interpret=interpret, use_repeat=use_repeat,
         )
         t = cfg.window_size
+        w0 = jnp.asarray(window0, jnp.float32)
+        batched = w0.ndim == 4
+        step_axis = 1 if batched else 0
+
+        def last_t(x):
+            return x[:, -t:] if batched else x[-t:]
+
         if num_steps >= t:
-            final_window = coords[-t:]
+            final_window = last_t(coords)
         else:
             final_window = jnp.concatenate(
-                [jnp.asarray(window0, jnp.float32)[num_steps:], coords],
-                axis=0,
+                [w0[:, num_steps:] if batched else w0[num_steps:], coords],
+                axis=step_axis,
             )
         return coords, final_window, diags
 

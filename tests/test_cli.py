@@ -182,6 +182,27 @@ def test_rollout_cli_multi_stream(tmp_path):
     assert summary["finite"] and summary["agg_steps_per_s"] > 0
 
 
+def test_rollout_cli_multi_stream_persistent(tmp_path):
+    """--streams --impl persistent: all streams in one kernel launch
+    (interpret mode on CPU); output layout matches the XLA batched path."""
+    from molecular_dynamics_neural_operator_tpu.cli import rollout as cli_roll
+
+    h5p = tmp_path / "sp.h5"
+    write_synthetic_h5(h5p, num_frames=30, num_residues=12, seed=3)
+    out = tmp_path / "streams_persistent"
+    summary = cli_roll.main([
+        "--data_path", str(h5p), "--out_path", str(out),
+        "--num_steps", "4", "--window_size", "4",
+        "--width", "8", "--kernel_width", "16", "--depth", "1",
+        "--num_residues", "12", "--compute_dtype", "float32",
+        "--predict_delta", "--streams", "4", "--stream_stride", "2",
+        "--impl", "persistent",
+    ])
+    coords = np.load(out / "forecast_coords.npy")
+    assert coords.shape == (4, 4, 12, 3)
+    assert summary["finite"] and summary["agg_steps_per_s"] > 0
+
+
 def test_train_cli_profile_flag(h5, tmp_path):
     """--profile captures a jax.profiler trace of the first epoch."""
     from molecular_dynamics_neural_operator_tpu.cli import train as cli_train

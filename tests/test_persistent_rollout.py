@@ -68,6 +68,70 @@ def test_persistent_matches_scan_with_electrostatics():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_persistent_multi_stream_matches_batched_scan():
+    """window0 (S, T, R, 3): the in-kernel stream loop must reproduce the
+    batched (vmapped) XLA rollout stream for stream."""
+    from molecular_dynamics_neural_operator_tpu.rollout import (
+        make_rollout_fn,
+    )
+
+    cfg = _cfg()
+    params = gkn_init(jax.random.PRNGKey(4), cfg)
+    traj = synthetic_trajectory(num_frames=16, num_residues=12, seed=9)
+    aa = jnp.asarray(traj.aminoacids)
+    windows = jnp.stack([jnp.asarray(traj.positions[i : i + 4])
+                         for i in (0, 5, 10)])  # (3, 4, 12, 3)
+    steps = 5
+    ref, ref_final, _ = make_rollout_fn(cfg, num_steps=steps, batched=True)(
+        params, aa, windows
+    )
+    got, diags = persistent_rollout(params, cfg, aa, windows, steps,
+                                    interpret=True)
+    assert got.shape == (3, steps, 12, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+    from molecular_dynamics_neural_operator_tpu.ops.pallas.persistent_rollout import (
+        make_persistent_rollout_fn,
+    )
+
+    fn = make_persistent_rollout_fn(cfg, num_steps=steps, interpret=True)
+    coords, final_w, _ = fn(params, aa, windows)
+    np.testing.assert_allclose(np.asarray(final_w), np.asarray(ref_final),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_persistent_matches_scan_beyond_48_residues():
+    """The (R, R)-layout extraction removed the old flat formulation's
+    48-residue cap (its (R^2, R^2) ranking constant); a 56-residue system
+    must now match the XLA scan too."""
+    cfg = _cfg(num_residues=56, max_edges=512)
+    params = gkn_init(jax.random.PRNGKey(3), cfg)
+    traj = synthetic_trajectory(num_frames=6, num_residues=56, seed=11)
+    aa = jnp.asarray(traj.aminoacids)
+    w0 = jnp.asarray(traj.positions[:4])
+    steps = 4
+    ref, _, ref_diags = jax.jit(
+        lambda p, a, w: rollout_scan(p, cfg, a, w, steps)
+    )(params, aa, w0)
+    got, diags = persistent_rollout(params, cfg, aa, w0, steps,
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    assert bool(diags["edge_overflow"]) == bool(ref_diags["edge_overflow"])
+
+
+def test_persistent_vmem_budget_guard():
+    """Configurations whose working set cannot fit VMEM raise up front."""
+    cfg = _cfg(num_residues=28, max_edges=8192, width=128, ker_width=1024)
+    params = gkn_init(jax.random.PRNGKey(0), cfg)
+    traj = synthetic_trajectory(num_frames=6, num_residues=28, seed=5)
+    with pytest.raises(ValueError, match="VMEM budget"):
+        persistent_rollout(params, cfg, jnp.asarray(traj.aminoacids),
+                           jnp.asarray(traj.positions[:4]), 2,
+                           interpret=True)
+
+
 def test_persistent_overflow_diagnostic():
     """Capacity smaller than the real edge count must raise the overflow
     flag (static shapes cannot error under jit)."""
