@@ -52,14 +52,19 @@ def main():
 
     def make_run(maker):
         def run(num_steps: int) -> float:
-            """Seconds for one fully-materialized num_steps rollout call."""
+            """Seconds for one fully-materialized num_steps rollout call
+            (min of 3: host contention inflates single samples — measured
+            skewing the slope BOTH directions under load)."""
             roll = maker(num_steps)
             coords, *_ = roll(params, aa, window0)
             float(jnp.sum(coords))  # warm-up: compile + full completion
-            t0 = time.perf_counter()
-            coords, *_ = roll(params, aa, window0)
-            float(jnp.sum(coords))  # value dependency forces completion
-            return time.perf_counter() - t0
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                coords, *_ = roll(params, aa, window0)
+                float(jnp.sum(coords))  # value dependency forces completion
+                best = min(best, time.perf_counter() - t0)
+            return best
 
         return run
 
