@@ -144,14 +144,22 @@ def padded_edges_device(adj: Array, max_edges: int,
     # assign[e, p] = 1 iff pair p is the e-th set bit
     assign = (rank[None, :] == slots[:, None]) & (flat[None, :] > 0)
     # Recover (src, dst) with two matvecs whose values stay <= R - 1, so the
-    # f32 accumulation is exact for any R <= 2^24 — a single matvec against
-    # arange(R*R) would lose integer precision past R ~ 4096.
+    # accumulation is exact for any R <= 2^24 — a single matvec against
+    # arange(R*R) would lose integer precision past R ~ 4096. Precision is
+    # pinned to HIGHEST explicitly: the default f32 matmul precision is
+    # backend-dependent (Pallas/Mosaic's in-kernel default, for one,
+    # rounds operands to bf16, which would corrupt index values past 256),
+    # and index recovery must never depend on that default. Verified exact
+    # on the chip at R=300.
     pair = jnp.arange(r * r, dtype=jnp.int32)
     rows = (pair // r).astype(jnp.float32)
     cols = (pair % r).astype(jnp.float32)
     af = assign.astype(jnp.float32)
-    src_f = jnp.dot(af, rows, preferred_element_type=jnp.float32)
-    dst_f = jnp.dot(af, cols, preferred_element_type=jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+    src_f = jnp.dot(af, rows, preferred_element_type=jnp.float32,
+                    precision=hi)
+    dst_f = jnp.dot(af, cols, preferred_element_type=jnp.float32,
+                    precision=hi)
     mask = (slots <= count).astype(jnp.float32)
     src = src_f.astype(jnp.int32) * mask.astype(jnp.int32)
     dst = dst_f.astype(jnp.int32) * mask.astype(jnp.int32)

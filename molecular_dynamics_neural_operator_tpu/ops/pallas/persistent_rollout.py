@@ -8,7 +8,10 @@ weights (~10.5 MB bf16 at reference size) from HBM every step of the scan
 Mosaic loads them into VMEM once and the revolving-buffer pipeline skips
 the re-copy on every subsequent step (TPU grids execute sequentially).
 The coordinate window lives in VMEM scratch across grid steps; the only
-per-step HBM traffic is the (R, 3) output block.
+per-step HBM traffic is the (S, R, 3) output block. Multi-stream serving
+((S, T, R, 3) windows) runs a sequential in-kernel stream loop per grid
+step — weights stay resident across BOTH loops and live memory is one
+stream's intermediates at any S.
 
 Each grid step runs the full reference step semantics
 (``/root/reference/graph_kernel.py:396-413`` + ``:362-393``):
@@ -61,12 +64,14 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.lru_cache(maxsize=8)
 def _static_mats(r_pad: int, width: int, dtype_str: str):
-    """Constant matrices for the (R, R)-layout extraction: identity (used
-    as an exact transpose-by-matmul, Mosaic-safe), STRICT lower-triangular
-    ones (exclusive cumsum of per-row edge counts), upper-triangular ones
+    """Constant matrices for the (R, R)-layout extraction: identity (the
+    G/D layout-laundering matmul), STRICT lower-triangular ones
+    (exclusive cumsum of per-row edge counts), upper-triangular ones
     incl. diagonal (inclusive intra-row cumsum: intra = C @ U), plus the
     conv-loop REP (w, w^2) / RED (w^2, w) forms. All f32 except REP/RED,
-    which ride the compute dtype."""
+    which ride the compute dtype. (Transposes inside the kernel use
+    native jnp.transpose — a transpose-by-identity-matmul is NOT exact on
+    chip: Mosaic's f32 matmuls run at ~bf16-pass precision.)"""
     dt = np.float32
     eye = np.eye(r_pad, dtype=np.float32)
     strict_l = np.tril(np.ones((r_pad, r_pad), np.float32), k=-1)
