@@ -61,6 +61,29 @@ def test_spectral_conv_matches_full_fft_oracle():
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_spectral_dft_matches_fft_impl():
+    """The matmul (truncated-DFT) spectral path is mathematically
+    identical to the FFT path — including non-power-of-two grids (the
+    Bluestein sizes it exists to avoid), odd sizes, and weights touching
+    the Nyquist column."""
+    import pytest
+
+    key = jax.random.PRNGKey(5)
+    w = 4
+    for r, m1, m2 in [(16, 3, 3), (28, 12, 12), (14, 5, 5), (15, 4, 4),
+                      (16, 4, 9)]:  # m2=9=r//2+1: Nyquist column included
+        sp = {
+            "w_real": jax.random.normal(key, (w, w, m1, m2)),
+            "w_imag": jax.random.normal(jax.random.fold_in(key, 1),
+                                        (w, w, m1, m2)),
+        }
+        x = jax.random.normal(jax.random.fold_in(key, r), (2, r, r, w))
+        fft = np.asarray(_spectral_conv(sp, x, m1, m2, impl="fft"))
+        dft = np.asarray(_spectral_conv(sp, x, m1, m2, impl="dft"))
+        np.testing.assert_allclose(dft, fft, rtol=2e-4, atol=2e-4,
+                                   err_msg=f"r={r} m=({m1},{m2})")
+
+
 def test_training_reduces_loss():
     cfg = _cfg()
     traj = synthetic_trajectory(num_frames=64, num_residues=16, seed=4)
