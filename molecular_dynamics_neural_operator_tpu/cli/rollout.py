@@ -141,6 +141,10 @@ def main(argv=None):
                 make_persistent_rollout_fn,
             )
 
+            if args.stream_chunk is not None:
+                print("NOTE: --stream_chunk applies to the XLA batched "
+                      "path only; the persistent kernel's live memory is "
+                      "already flat in the stream count (ignoring it)")
             roll = make_persistent_rollout_fn(cfg, args.num_steps,
                                               args.threshold,
                                               clip=args.clip)

@@ -74,7 +74,8 @@ def _dft_mats(r1: int, r2: int, m1: int, m2: int):
     transform for frequencies [0..m2). B1 (R1, 2*m1): inverse row
     transform (includes the 1/R1 of ``ifft``). B2 (R2, m2): inverse
     column transform with the rfft Hermitian doubling (s_g = 2 for g > 0,
-    1 for g = 0; all retained g < R2//2 so no Nyquist case) and 1/R2.
+    except g = 0 and — when m2 reaches R2//2 + 1 on an even grid — the
+    Nyquist bin, which are their own conjugate partners) and 1/R2.
     """
     import numpy as np
 
@@ -109,8 +110,20 @@ def _spectral_conv(sp_params, x: Array, modes1: int, modes2: int,
     r1, r2, width = x.shape[-3], x.shape[-2], x.shape[-1]
     w = sp_params["w_real"] + 1j * sp_params["w_imag"]  # (w, w, m1, m2)
     m1, m2 = modes1, modes2
+    # When the retained row blocks overlap (2*m1 > R1) or m2 exceeds the
+    # rfft half-spectrum, the two paths are NOT equivalent: the FFT path's
+    # .at[].set overwrites the overlap while the DFT path would sum it.
+    # Such configs are degenerate (modes exceeding the grid) — keep the
+    # FFT path's behavior and never auto-route them to dft.
+    overlapping = 2 * m1 > r1 or m2 > r2 // 2 + 1
     if impl == "auto":
-        impl = "dft" if max(r1, r2) <= 128 else "fft"
+        impl = "dft" if max(r1, r2) <= 128 and not overlapping else "fft"
+    if impl == "dft" and overlapping:
+        raise ValueError(
+            f"spectral_impl='dft' requires 2*modes1 <= {r1} and modes2 <= "
+            f"{r2 // 2 + 1} (got modes=({m1}, {m2})); use 'fft' or fewer "
+            "modes"
+        )
 
     if impl == "dft":
         f1, f2, b1, b2 = (jnp.asarray(a) for a in

@@ -161,10 +161,16 @@ def _kernel(
         # the pad SELF-pairs (distance 0) would become real unmasked edges
         # whose kernel values blow up over the conv layers.
         cmat = jnp.where(d2 < thr2, 1.0, 0.0) * pair_valid_ref[:]  # (R, R)
+        hi = jax.lax.Precision.HIGHEST
         rowcount = jnp.dot(cmat, ones_r_ref[:],
                            preferred_element_type=f32)       # (R, 1)
+        # HIGHEST on the count-CARRYING operands: rowcount/intra hold
+        # integers up to R, which exceed Mosaic's default bf16-operand
+        # exact range (256) for large systems. 0/1-operand matmuls
+        # (rowcount, c_row, deg, laundering) are exact at any precision.
         row_off = jnp.dot(strictl_ref[:], rowcount,
-                          preferred_element_type=f32)        # (R, 1) excl.
+                          preferred_element_type=f32,
+                          precision=hi)                      # (R, 1) excl.
         intra = jnp.dot(cmat, u_ref[:],
                         preferred_element_type=f32)          # (R, R)
         count = jnp.sum(rowcount)
@@ -183,14 +189,14 @@ def _kernel(
         # Target incidence: gather slot e's source row of C / intra with G
         # and match its intra-row rank l = e - row_off[src]. HIGHEST
         # precision: row_off's integers exceed 256 at larger capacities
-        # and Mosaic's default bf16-pass matmul would round them; the
-        # other extraction matmuls only carry 0/1 or counts <= R.
+        # and intra's exceed it for R > 256; Mosaic's default bf16-pass
+        # matmul would round those operands.
         l_intra = slots - jnp.dot(g, row_off,
                                   preferred_element_type=f32,
-                                  precision=jax.lax.Precision.HIGHEST)
+                                  precision=hi)
         c_row = jnp.dot(g, cmat, preferred_element_type=f32)  # (E, R)
-        intra_row = jnp.dot(g, intra,
-                            preferred_element_type=f32)      # (E, R)
+        intra_row = jnp.dot(g, intra, preferred_element_type=f32,
+                            precision=hi)                    # (E, R)
         d = c_row * jnp.where(intra_row == l_intra, 1.0, 0.0)  # (E, R)
         # Layout laundering: G came off the VPU (broadcast compares) and D
         # off an elementwise multiply; both feed 2*depth+2 matmuls below.

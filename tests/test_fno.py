@@ -84,6 +84,28 @@ def test_spectral_dft_matches_fft_impl():
                                    err_msg=f"r={r} m=({m1},{m2})")
 
 
+def test_spectral_dft_rejects_overlapping_modes():
+    """2*modes1 > R makes the two impls inequivalent (the FFT path's
+    scatter overwrites the overlapping rows, a sum would not): explicit
+    dft must refuse, and auto must route such configs to fft."""
+    import pytest
+
+    r, w, m1, m2 = 16, 4, 12, 4  # row overlap: 2*12 > 16; cols valid
+    key = jax.random.PRNGKey(6)
+    sp = {
+        "w_real": jax.random.normal(key, (w, w, m1, m2)),
+        "w_imag": jax.random.normal(jax.random.fold_in(key, 1),
+                                    (w, w, m1, m2)),
+    }
+    x = jax.random.normal(jax.random.fold_in(key, 2), (r, r, w))
+    with pytest.raises(ValueError, match="2\\*modes1"):
+        _spectral_conv(sp, x, m1, m2, impl="dft")
+    # auto falls back to fft and matches it
+    auto = np.asarray(_spectral_conv(sp, x, m1, m2, impl="auto"))
+    fft = np.asarray(_spectral_conv(sp, x, m1, m2, impl="fft"))
+    np.testing.assert_allclose(auto, fft, rtol=1e-5, atol=1e-5)
+
+
 def test_training_reduces_loss():
     cfg = _cfg()
     traj = synthetic_trajectory(num_frames=64, num_residues=16, seed=4)

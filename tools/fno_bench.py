@@ -1,15 +1,12 @@
 """FNO family throughput on one chip (BASELINE config 2, no reference
 numbers exist): rollout steps/s (single + batched) and training samples/s."""
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from molecular_dynamics_neural_operator_tpu.configs import (
-    FNOConfig, TrainConfig,
-)
+from molecular_dynamics_neural_operator_tpu.configs import FNOConfig
 from molecular_dynamics_neural_operator_tpu.data import synthetic_trajectory
 from molecular_dynamics_neural_operator_tpu.models.fno import (
     FNOBatch, distance_matrix_channels, fno_apply, fno_init,
@@ -29,16 +26,7 @@ traj = synthetic_trajectory(num_frames=200, num_residues=cfg.num_residues,
 ch0 = distance_matrix_channels(jnp.asarray(traj.positions[:10]))
 
 
-def minrun(f, *a):
-    out = f(*a)
-    float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = f(*a)
-        float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
+from tools.timing import min_time as minrun  # noqa: E402
 
 
 # rollout: slope between 500 and 2500 steps

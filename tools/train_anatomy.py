@@ -13,7 +13,6 @@ encoder+head grad and the optax update are all ~0; edge-MLP fwd+bwd
 Usage: python tools/train_anatomy.py   (real TPU; ~10 min of compiles)
 """
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -55,25 +54,17 @@ params = state.params
 
 
 def scan_time(make_body, carry0, n1=20, n2=100):
+    from tools.timing import min_time, slope_rate
+
     def run(n):
         @jax.jit
         def many(c):
             return jax.lax.scan(lambda c, _: (make_body(c), None), c,
                                 None, length=n)[0]
 
-        c = many(carry0)
-        float(jnp.sum(jax.tree_util.tree_leaves(c)[0]))
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            c = many(carry0)
-            float(jnp.sum(jax.tree_util.tree_leaves(c)[0]))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
+        return min_time(many, carry0)
 
-    t1 = run(n1)
-    t2 = run(n2)
-    return (t2 - t1) / (n2 - n1) * 1e3  # ms/iter
+    return 1e3 / slope_rate(run, n1, n2)  # ms/iter
 
 
 gb = featurize_batch(cfg, batch, "first")
