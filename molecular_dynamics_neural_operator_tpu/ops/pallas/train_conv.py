@@ -137,8 +137,6 @@ def _bwd_kernel(
     kt = k_ref[0]
     inv_deg = invdeg_ref[0]
     dx = gout_ref[0]                  # (R, w) f32
-    e_cap = dk_acc.shape[0]
-    dk_acc[:] = jnp.zeros((e_cap, width * width), f32)
     dr1 = jnp.zeros((width, width), f32)
     dr2 = jnp.zeros((width, width), f32)
     db1 = jnp.zeros((1, width), f32)
@@ -166,19 +164,27 @@ def _bwd_kernel(
         ).astype(cd)                                         # (E, w^2)
         xs = jnp.dot(g, x_in.astype(cd), preferred_element_type=f32)
         xs_tile = _expand_tile(xs, width, tile_ref, use_repeat, cd)
-        dk_acc[:] = dk_acc[:] + (dm_rep * xs_tile).astype(f32)
-        dxs = jnp.dot(
-            (dm_rep * kt).astype(cd), red_wi_ref[:],
+        # first processed layer assigns (no zero-init pass over the 4 MB
+        # f32 accumulator); the rest accumulate in place
+        if layer == 2 * depth - 1:
+            dk_acc[:] = (dm_rep * xs_tile).astype(f32)
+        else:
+            dk_acc[:] = dk_acc[:] + (dm_rep * xs_tile).astype(f32)
+        # Message-gradient reduction REORDERED (the forward conv's trick,
+        # run in reverse): (G^T @ (dm_rep*K)) @ RED == G^T @ ((dm_rep*K)
+        # @ RED), so the w^2-wide contraction streams R rows instead of E
+        # rows through the MXU and the (E, w) dxs tensor never
+        # materializes.
+        z = jax.lax.dot_general(
+            g, (dm_rep * kt).astype(cd),
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=f32,
-        )                                                    # (E, w)
+        )                                                    # (R, w^2)
         dx = (
             jnp.dot(dz.astype(cd), root.astype(cd).T,
                     preferred_element_type=f32)
-            + jax.lax.dot_general(
-                g, dxs.astype(cd),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )
+            + jnp.dot(z.astype(cd), red_wi_ref[:],
+                      preferred_element_type=f32)
         )
     dx0_ref[0] = dx
     dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
