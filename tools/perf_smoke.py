@@ -58,13 +58,19 @@ def main():
 
     def roll_rate(maker, w0=w0):
         def run(n):
+            # min-of-3: single samples over the tunnel jitter by up to
+            # 1.5x (a one-shot slope once reported the persistent kernel
+            # at the XLA rate)
             f = maker(n)
             c, *_ = f(params, aa, w0)
             float(jnp.sum(c))
-            t0 = time.perf_counter()
-            c, *_ = f(params, aa, w0)
-            float(jnp.sum(c))
-            return time.perf_counter() - t0
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                c, *_ = f(params, aa, w0)
+                float(jnp.sum(c))
+                best = min(best, time.perf_counter() - t0)
+            return best
         t1, t2 = run(n1), run(n2)
         return round((n2 - n1) / max(t2 - t1, 1e-9), 0)
 
