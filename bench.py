@@ -37,11 +37,14 @@ def main():
           file=sys.stderr)
 
     # Flagship config: reference hyperparameters (width 64, ker_width 1024,
-    # depth 6), BBA shapes (R=28, window 10), padded sparse graph (E=256 —
-    # ~25% headroom over BBA-scale contact counts, ~180-210 incl.
-    # self-loops), bf16 matmuls.
+    # depth 6), BBA shapes (R=28, window 10), padded sparse graph, bf16
+    # matmuls. Edge capacity 224 = BBA's max contact count plus headroom
+    # (observed max 216 incl. self-loops on this trajectory, ~180-210 on
+    # real BBA); overflow is diagnosed, not silent. E=256 measures ~4.7%
+    # lower (30.3k vs 31.7k persistent) — capacity is paid for in the
+    # edge-MLP rows whether the slots are real or padding.
     cfg = ModelConfig(compute_dtype="bfloat16", graph_mode="sparse",
-                      max_edges=256)
+                      max_edges=224)
     params = gkn_init(jax.random.PRNGKey(0), cfg)
 
     traj = synthetic_trajectory(
