@@ -161,9 +161,16 @@ def gkn_apply_single(
     window: Array,
     graph: Graph,
     return_latent: bool = False,
+    scatter_hint: str | None = None,
 ):
     """Forward one example. window: (T, R, 3). Returns (R, out_width)
-    [and the (R, width) latent if requested]."""
+    [and the (R, width) latent if requested].
+
+    ``scatter_hint`` overrides the node-count-based aggregation choice
+    ("onehot" below 512 nodes, "segment" above). Pass "blocked" ONLY for
+    graphs in the cell-list block layout (slot n*max_degree+d targets
+    node n, geometry/cells.py) — the rollout scan does this for its own
+    rebuilds, turning the large-system scatter into a dense reduction."""
     cd = _compute_dtype(cfg)
     x = _encode_nodes(params, cfg, aa, window)
     w = cfg.width
@@ -215,7 +222,9 @@ def gkn_apply_single(
         else:
             kernels2 = kfn(kernel2_params, graph.edge_feats)
         num_nodes = aa.shape[0]
-        scatter = "onehot" if num_nodes <= 512 else "segment"
+        scatter = scatter_hint or (
+            "onehot" if num_nodes <= 512 else "segment"
+        )
         inv_deg = sparse_inv_degree(graph.edges, graph.mask, num_nodes,
                                     scatter)
         if (cfg.fused_conv_vjp and cfg.tie_edge_kernel

@@ -26,7 +26,10 @@ algorithmic wins on TPU:
 Dense mode holds a (R, R, w, w) kernel tensor — ideal for small proteins
 (BBA: R=28). Sparse mode holds (E_max, w, w) with a validity mask and
 scales to ~10k-atom neighbor lists; set ``scatter_mode="segment"`` there so
-aggregation uses ``segment_sum`` instead of an (E, N) one-hot.
+aggregation uses ``segment_sum`` instead of an (E, N) one-hot — or
+``"blocked"`` when the edge list is in the cell-list block layout
+(slot n*max_degree + d targets node n, geometry/cells.py), which replaces
+the scatter with a dense per-node reduction.
 """
 
 from __future__ import annotations
@@ -127,7 +130,7 @@ def edge_conv_sparse(
         m = m * mask[:, None]
         s = (dst[:, None] == jnp.arange(r)[None, :]).astype(cd)  # (E, R)
         agg = jnp.dot(s.T.astype(cd), m.astype(cd), preferred_element_type=jnp.float32)
-    elif scatter_mode == "segment":
+    elif scatter_mode in ("segment", "blocked"):
         xs = x[src]
         m = jnp.einsum(
             "ew,ewv->ev",
@@ -136,7 +139,21 @@ def edge_conv_sparse(
             preferred_element_type=jnp.float32,
         )
         m = m * mask[:, None]
-        agg = jax.ops.segment_sum(m, dst, num_segments=r)
+        if scatter_mode == "blocked":
+            # Cell-list block layout (geometry/cells.py:95): edge slot
+            # n*max_degree + d always targets node n, so the edges->nodes
+            # aggregation is a dense per-block reduction — no scatter op
+            # at all (TPU scatters serialize). Padded slots contribute 0
+            # via the mask. ONLY valid for graphs built by
+            # cell_list_edges; callers opt in explicitly.
+            if m.shape[0] % r:
+                raise ValueError(
+                    f"blocked scatter needs max_edges divisible by "
+                    f"num_nodes (got E={m.shape[0]}, R={r})"
+                )
+            agg = m.reshape(r, -1, m.shape[-1]).sum(axis=1)
+        else:
+            agg = jax.ops.segment_sum(m, dst, num_segments=r)
     else:
         raise ValueError(f"unknown scatter_mode: {scatter_mode}")
 
@@ -163,6 +180,14 @@ def sparse_inv_degree(edges: Array, mask: Array, num_nodes: int,
             mask.dtype
         )
         deg = jnp.dot(mask, s, preferred_element_type=jnp.float32)
+    elif scatter_mode == "blocked":
+        # cell-list block layout: slot n*max_degree + d targets node n
+        if mask.shape[0] % num_nodes:
+            raise ValueError(
+                f"blocked scatter needs max_edges divisible by num_nodes "
+                f"(got E={mask.shape[0]}, R={num_nodes})"
+            )
+        deg = mask.reshape(num_nodes, -1).sum(axis=1)
     else:
         deg = jax.ops.segment_sum(mask, edges[1], num_segments=num_nodes)
     return 1.0 / jnp.maximum(deg, 1.0)

@@ -69,7 +69,18 @@ def _step(params, cfg: ModelConfig, aa, window, threshold: float,
           graph_frame: str, clip: float | None = None):
     frame = window[-1] if graph_frame == "last" else window[0]
     graph, overflow = _build_graph(cfg, frame, threshold)
-    out = gkn_apply_single(params, cfg, aa, window, graph)  # (R, 3)
+    # cell_list_edges emits the block layout (slot n*max_degree + d
+    # targets node n), so large-system aggregation can skip the scatter
+    # entirely (edge_conv.py "blocked"); small systems keep the one-hot
+    # MXU path.
+    hint = (
+        "blocked"
+        if (cfg.graph_mode == "sparse" and cfg.neighbor_impl == "cell_list"
+            and aa.shape[0] > 512)
+        else None
+    )
+    out = gkn_apply_single(params, cfg, aa, window, graph,
+                           scatter_hint=hint)  # (R, 3)
     if clip is not None:
         # Safety rail on the feedback loop: bounds the coordinates fed back
         # into the next step so an off-distribution model cannot push the

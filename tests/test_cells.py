@@ -141,3 +141,92 @@ def test_cell_list_rollout_matches_dense_rank():
     assert not bool(d2["edge_overflow"])
     np.testing.assert_allclose(np.asarray(c_cell), np.asarray(c_rank),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_blocked_scatter_matches_segment_and_onehot():
+    """"blocked" aggregation (dense per-node reduction over the cell-list
+    block layout) equals segment_sum and the one-hot matmul on a graph
+    built by cell_list_edges."""
+    from molecular_dynamics_neural_operator_tpu.ops.edge_conv import (
+        edge_conv_init,
+        edge_conv_sparse,
+        sparse_inv_degree,
+    )
+
+    rng = np.random.default_rng(0)
+    n, w, deg = 20, 8, 20
+    pos = np.cumsum(rng.normal(size=(n, 3)).astype(np.float32) * 3.0,
+                    axis=0)
+    out = cell_list_edges(jnp.asarray(pos), cutoff=8.0, max_degree=deg,
+                          cell_capacity=16, num_cells=64)
+    assert not bool(out.degree_overflow)
+    x = jnp.asarray(rng.normal(size=(n, w)).astype(np.float32))
+    kern = jnp.asarray(
+        rng.normal(size=(n * deg, w, w)).astype(np.float32)
+    )
+    conv = edge_conv_init(jax.random.PRNGKey(1), w)
+    results = {}
+    for mode in ("onehot", "segment", "blocked"):
+        inv_deg = sparse_inv_degree(out.edges, out.mask, n, mode)
+        results[mode] = np.asarray(edge_conv_sparse(
+            conv, x, kern, out.edges, out.mask, inv_deg, mode, jnp.float32
+        ))
+    np.testing.assert_allclose(results["blocked"], results["segment"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(results["blocked"], results["onehot"],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_blocked_scatter_rejects_non_divisible_capacity():
+    from molecular_dynamics_neural_operator_tpu.ops.edge_conv import (
+        sparse_inv_degree,
+    )
+
+    with np.testing.assert_raises(ValueError):
+        sparse_inv_degree(jnp.zeros((2, 30), jnp.int32),
+                          jnp.zeros((30,)), 7, "blocked")
+
+
+def test_large_rollout_blocked_hint_matches_segment():
+    """Above 512 nodes the rollout scan auto-selects "blocked"
+    aggregation for cell-list rebuilds (rollout/scan.py); its output must
+    equal a manual step loop that forces the segment_sum path on the
+    same graphs."""
+    import dataclasses
+
+    from molecular_dynamics_neural_operator_tpu.configs import ModelConfig
+    from molecular_dynamics_neural_operator_tpu.models import (
+        gkn_apply_single,
+        gkn_init,
+    )
+    from molecular_dynamics_neural_operator_tpu.rollout import rollout_scan
+    from molecular_dynamics_neural_operator_tpu.rollout.scan import (
+        _build_graph,
+    )
+
+    rng = np.random.default_rng(2)
+    n, t = 600, 3
+    base = np.cumsum(rng.normal(size=(n, 3)).astype(np.float32) * 2.5,
+                     axis=0)
+    window = jnp.asarray(np.stack([base + 0.02 * i for i in range(t)]))
+    aa = jnp.asarray(rng.integers(0, 20, n).astype(np.int32))
+    cfg = ModelConfig(width=4, ker_width=8, depth=1, window_size=t,
+                      num_residues=n, graph_mode="sparse",
+                      compute_dtype="float32", predict_delta=True,
+                      neighbor_impl="cell_list", max_degree=48,
+                      max_edges=n * 48, cell_capacity=32, num_cells=1024)
+    params = gkn_init(jax.random.PRNGKey(0), cfg)
+    c_auto, _, diags = rollout_scan(params, cfg, aa, window, 2)
+    assert not bool(diags["edge_overflow"])
+
+    # manual loop with the segment path forced
+    win = window
+    outs = []
+    for _ in range(2):
+        graph, _ = _build_graph(cfg, win[-1], 8.0)
+        out = gkn_apply_single(params, cfg, aa, win, graph,
+                               scatter_hint="segment")
+        outs.append(np.asarray(out))
+        win = jnp.concatenate([win[1:], out[None]], axis=0)
+    np.testing.assert_allclose(np.asarray(c_auto), np.stack(outs),
+                               rtol=1e-5, atol=1e-6)
