@@ -50,9 +50,18 @@ from molecular_dynamics_neural_operator_tpu.rollout.scan import _build_graph
 
 
 def _forward_edge_shard(params, cfg: ModelConfig, aa, window, edges, mask,
-                        edge_feats, axis_name: str):
+                        edge_feats, axis_name: str,
+                        blocked_offset=None):
     """Forward with a LOCAL edge shard; psums over ``axis_name``.
-    (Same math as parallel/edge_sharded.py::_forward_local.)"""
+    (Same math as parallel/edge_sharded.py::_forward_local.)
+
+    ``blocked_offset`` (traced scalar): when the shard is an atom-aligned
+    slice of the cell-list block layout (slot a*max_degree + d targets
+    local atom a; dst indices global, starting at this offset), the
+    edges->nodes reduction runs scatter-free — a dense (n_local, deg, w)
+    sum placed into the global node array by dynamic_update_slice —
+    instead of segment_sum (TPU scatters serialize; see
+    ops/edge_conv.py "blocked")."""
     cd = _compute_dtype(cfg)
     r = aa.shape[0]
     x = _encode_nodes(params, cfg, aa, window)
@@ -66,9 +75,30 @@ def _forward_edge_shard(params, cfg: ModelConfig, aa, window, edges, mask,
     ).astype(cd)
 
     src, dst = edges[0], edges[1]
-    deg = jax.lax.psum(
-        jax.ops.segment_sum(mask, dst, num_segments=r), axis_name
-    )
+    if blocked_offset is not None:
+        n_local = mask.shape[0] // cfg.max_degree
+
+        def place(local_block):
+            full = jnp.zeros((r,) + local_block.shape[1:],
+                             local_block.dtype)
+            return jax.lax.dynamic_update_slice(
+                full, local_block,
+                (blocked_offset,) + (0,) * (local_block.ndim - 1),
+            )
+
+        def local_aggregate(m):
+            return place(m.reshape(n_local, cfg.max_degree, -1).sum(1))
+
+        deg = jax.lax.psum(
+            place(mask.reshape(n_local, cfg.max_degree).sum(1)), axis_name
+        )
+    else:
+        def local_aggregate(m):
+            return jax.ops.segment_sum(m, dst, num_segments=r)
+
+        deg = jax.lax.psum(
+            jax.ops.segment_sum(mask, dst, num_segments=r), axis_name
+        )
     inv_deg = 1.0 / jnp.maximum(deg, 1.0)
 
     def layer(x, conv_params, ks):
@@ -76,9 +106,7 @@ def _forward_edge_shard(params, cfg: ModelConfig, aa, window, edges, mask,
             "ew,ewv->ev", x[src].astype(cd), ks,
             preferred_element_type=jnp.float32,
         ) * mask[:, None]
-        agg = jax.lax.psum(
-            jax.ops.segment_sum(m, dst, num_segments=r), axis_name
-        ) * inv_deg[:, None]
+        agg = jax.lax.psum(local_aggregate(m), axis_name) * inv_deg[:, None]
         root = jnp.dot(x.astype(cd), conv_params["root"].astype(cd),
                        preferred_element_type=jnp.float32)
         return jax.nn.relu(agg + root + conv_params["bias"])
@@ -145,6 +173,7 @@ def make_edge_sharded_rollout_fn(
                 edges, mask = out_cl.edges, out_cl.mask
                 ef = edge_features_from_edges(frame, edges)
                 overflow = out_cl.cell_overflow | out_cl.degree_overflow
+                blocked_offset = shard * n_local
             else:
                 graph, overflow = _build_graph(cfg, frame, threshold)
                 edges = jax.lax.dynamic_slice_in_dim(graph.edges, lo,
@@ -152,8 +181,10 @@ def make_edge_sharded_rollout_fn(
                 mask = jax.lax.dynamic_slice_in_dim(graph.mask, lo, local_e)
                 ef = jax.lax.dynamic_slice_in_dim(graph.edge_feats, lo,
                                                   local_e, axis=0)
+                blocked_offset = None
             out = _forward_edge_shard(params, cfg, aa, window, edges, mask,
-                                      ef, model_axis)
+                                      ef, model_axis,
+                                      blocked_offset=blocked_offset)
             if clip is not None:
                 out = jnp.clip(out, -clip, clip)
             new_window = jnp.concatenate([window[1:], out[None]], axis=0)
