@@ -59,8 +59,13 @@ def main():
             (min of 3: host contention inflates single samples — measured
             skewing the slope BOTH directions under load)."""
             roll = maker(num_steps)
-            coords, *_ = roll(params, aa, window0)
+            out = roll(params, aa, window0)
+            coords, diags = out[0], out[-1]
             float(jnp.sum(coords))  # warm-up: compile + full completion
+            if bool(diags.get("edge_overflow", False)):
+                print(f"[bench] WARNING: edge_overflow at capacity "
+                      f"{cfg.max_edges} over {num_steps} steps — contacts "
+                      f"were truncated", file=sys.stderr)
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()

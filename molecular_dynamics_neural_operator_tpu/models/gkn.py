@@ -222,8 +222,13 @@ def gkn_apply_single(
         else:
             kernels2 = kfn(kernel2_params, graph.edge_feats)
         num_nodes = aa.shape[0]
+        from molecular_dynamics_neural_operator_tpu.ops.edge_conv import (
+            SCATTER_ONEHOT_MAX_NODES,
+        )
+
         scatter = scatter_hint or (
-            "onehot" if num_nodes <= 512 else "segment"
+            "onehot" if num_nodes <= SCATTER_ONEHOT_MAX_NODES
+            else "segment"
         )
         inv_deg = sparse_inv_degree(graph.edges, graph.mask, num_nodes,
                                     scatter)

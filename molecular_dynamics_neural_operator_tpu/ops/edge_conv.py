@@ -42,6 +42,24 @@ from molecular_dynamics_neural_operator_tpu.ops.mlp import mlp_apply
 Array = jax.Array
 
 
+# Above this node count the (E, N) one-hot incidence matmuls stop paying
+# and aggregation switches to segment_sum (or "blocked" for cell-list
+# layouts). Shared by gkn_apply_single and the rollout scan's hint gate.
+SCATTER_ONEHOT_MAX_NODES = 512
+
+
+def _check_blocked_layout(num_edges: int, num_nodes: int) -> None:
+    """The "blocked" modes require the cell-list block layout: exactly
+    E == N * max_degree slots with slot n*max_degree + d targeting node
+    n (geometry/cells.py). Divisibility is the checkable part."""
+    if num_edges % num_nodes:
+        raise ValueError(
+            f"blocked scatter requires the cell-list block layout "
+            f"(E == num_nodes * max_degree); got E={num_edges}, "
+            f"num_nodes={num_nodes}"
+        )
+
+
 def edge_conv_init(key, width: int, dtype=jnp.float32):
     """Root weight + bias of one conv (the edge-kernel MLP is owned by the
     model so it can be *shared* across convs, reference parity:
@@ -146,11 +164,7 @@ def edge_conv_sparse(
             # at all (TPU scatters serialize). Padded slots contribute 0
             # via the mask. ONLY valid for graphs built by
             # cell_list_edges; callers opt in explicitly.
-            if m.shape[0] % r:
-                raise ValueError(
-                    f"blocked scatter needs max_edges divisible by "
-                    f"num_nodes (got E={m.shape[0]}, R={r})"
-                )
+            _check_blocked_layout(m.shape[0], r)
             agg = m.reshape(r, -1, m.shape[-1]).sum(axis=1)
         else:
             agg = jax.ops.segment_sum(m, dst, num_segments=r)
@@ -182,11 +196,7 @@ def sparse_inv_degree(edges: Array, mask: Array, num_nodes: int,
         deg = jnp.dot(mask, s, preferred_element_type=jnp.float32)
     elif scatter_mode == "blocked":
         # cell-list block layout: slot n*max_degree + d targets node n
-        if mask.shape[0] % num_nodes:
-            raise ValueError(
-                f"blocked scatter needs max_edges divisible by num_nodes "
-                f"(got E={mask.shape[0]}, R={num_nodes})"
-            )
+        _check_blocked_layout(mask.shape[0], num_nodes)
         deg = mask.reshape(num_nodes, -1).sum(axis=1)
     else:
         deg = jax.ops.segment_sum(mask, edges[1], num_segments=num_nodes)

@@ -221,7 +221,11 @@ def pallas_tied_conv_stack(
 ):
     """Batched tied conv stack. x0 (B, R, w) f32; kt (B, E, w^2) tile-layout
     pre-masked kernel tensor; g/d (B, E, R) one-hots; inv_deg (B, R, 1).
-    Returns (B, R, w)."""
+    Returns (B, R, w). Requires depth >= 1: the backward kernel's dK
+    accumulator is assigned by the first processed layer (no zero-init
+    pass), so an empty stack would return uninitialized VMEM scratch."""
+    if depth < 1:
+        raise ValueError("pallas_tied_conv_stack requires depth >= 1")
     out, _ = _fwd(depth, compute_dtype_str, use_repeat, interpret,
                   x0, kt, g, d, inv_deg, root1, bias1, root2, bias2)
     return out

@@ -144,6 +144,18 @@ def make_edge_sharded_rollout_fn(
         shard = jax.lax.axis_index(model_axis)
         lo = shard * local_e
         n_atoms = window0.shape[1]
+        if (cfg.graph_mode == "sparse"
+                and cfg.neighbor_impl == "cell_list"
+                and cfg.max_edges != n_atoms * cfg.max_degree):
+            # The cell-list rebuild always emits n_atoms * max_degree edge
+            # slots; slicing it with cfg.max_edges-derived offsets would
+            # silently overlap or drop shards (configs.py documents the
+            # invariant — enforce it where it bites).
+            raise ValueError(
+                f"edge-sharded cell-list rollout requires max_edges == "
+                f"num_atoms * max_degree (got {cfg.max_edges} != "
+                f"{n_atoms} * {cfg.max_degree})"
+            )
         # Sharded rebuild applies when the per-atom slot layout holds: the
         # cell-list edge list has exactly max_degree slots per atom, so a
         # contiguous atom slice owns a contiguous edge slice.

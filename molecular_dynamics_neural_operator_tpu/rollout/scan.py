@@ -73,10 +73,14 @@ def _step(params, cfg: ModelConfig, aa, window, threshold: float,
     # targets node n), so large-system aggregation can skip the scatter
     # entirely (edge_conv.py "blocked"); small systems keep the one-hot
     # MXU path.
+    from molecular_dynamics_neural_operator_tpu.ops.edge_conv import (
+        SCATTER_ONEHOT_MAX_NODES,
+    )
+
     hint = (
         "blocked"
         if (cfg.graph_mode == "sparse" and cfg.neighbor_impl == "cell_list"
-            and aa.shape[0] > 512)
+            and aa.shape[0] > SCATTER_ONEHOT_MAX_NODES)
         else None
     )
     out = gkn_apply_single(params, cfg, aa, window, graph,
