@@ -53,6 +53,26 @@ t1, t2 = roll8_time(500), roll8_time(2500)
 rate8 = 8 * 2000 / max(t2 - t1, 1e-9)
 print(f"FNO 8-stream rollout: {rate8:,.0f} agg steps/s", flush=True)
 
+# stream-scaling sweep (the FNO state is tiny — no kernel-tensor spill,
+# so aggregate throughput keeps climbing as streams fill the small
+# matmuls; docs/PERFORMANCE.md quotes this sweep)
+import os
+if os.environ.get("FNO_BENCH_SWEEP", "0") == "1":
+    for s_cnt in (32, 64, 128):
+        chs = jnp.stack([distance_matrix_channels(
+            jnp.asarray(traj.positions[i % 100 : i % 100 + 10]))
+            for i in range(s_cnt)])
+
+        def rolls_time(n, chs=chs):
+            f = jax.jit(jax.vmap(
+                lambda c: fno_rollout_scan(params, cfg, c, n)[0]))
+            return minrun(f, chs)
+
+        t1, t2 = rolls_time(500), rolls_time(2500)
+        rr = s_cnt * 2000 / max(t2 - t1, 1e-9)
+        print(f"FNO {s_cnt}-stream rollout: {rr:,.0f} agg steps/s",
+              flush=True)
+
 # training step, B=128, in-scan device rate
 B = 128
 tx, _ = make_optimizer(lr=1e-3, weight_decay=0.0, scheduler_step=50,
