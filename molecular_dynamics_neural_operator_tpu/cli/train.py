@@ -35,6 +35,17 @@ def parse_args(argv=None):
     p.add_argument("--num_embeddings", type=int, default=20)
     p.add_argument("--embedding_dim", type=int, default=4)
     p.add_argument("--split_pct", type=float, default=0.8)
+    # Reference DataLoader worker knobs (graph_kernel.py:332-335). The TPU
+    # input pipeline replaces worker processes with the double-buffered
+    # prefetch_to_device queue (data/prefetch.py), so: prefetch_factor maps
+    # onto the prefetch depth; the other three are accepted for drop-in
+    # compatibility with reference command lines and warned as no-ops.
+    p.add_argument("--num_data_workers", type=int, default=0)
+    p.add_argument("--prefetch_factor", type=int, default=2)
+    p.add_argument("--persistent_workers", type=lambda s: s != "False",
+                   default=False)
+    p.add_argument("--non_blocking", type=lambda s: s != "False",
+                   default=False)
     p.add_argument("--generate_movie", type=lambda s: s != "False", default=True)
     p.add_argument("--num_movie_frames", type=int, default=5)
     p.add_argument("--plot_latent", type=lambda s: s != "False", default=True)
@@ -325,6 +336,13 @@ def main(argv=None):
     args = parse_args(argv)
     model_cfg, data_cfg, train_cfg = build_configs(args)
 
+    for name in ("num_data_workers", "persistent_workers", "non_blocking"):
+        if getattr(args, name):
+            print(f"WARNING: --{name} accepted for reference CLI "
+                  "compatibility but is a no-op: host batches flow through "
+                  "the in-process prefetch_to_device queue "
+                  "(--prefetch_factor sets its depth)")
+
     if args.operator == "fno":
         return _main_fno(args, data_cfg, train_cfg)
 
@@ -480,6 +498,7 @@ def main(argv=None):
             state, train_step, dataset, tr_idx, train_cfg.batch_size,
             seed=train_cfg.seed, epoch=epoch, put=put,
             rollout_horizon=train_cfg.rollout_steps,
+            prefetch=args.prefetch_factor,
         )
         if profile_ctx is not None:
             profile_ctx.__exit__(None, None, None)

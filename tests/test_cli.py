@@ -231,3 +231,19 @@ def test_train_cli_fno_data_parallel(h5, tmp_path):
         "--fno_depth", "1", "--rollout_steps", "2", "--data_parallel",
     ])
     assert (run / "best.npz").exists()
+
+
+def test_train_cli_reference_loader_flags(h5, tmp_path):
+    """A reference command line carrying the DataLoader worker knobs
+    (graph_kernel.py:332-335) runs unmodified: num_data_workers /
+    persistent_workers / non_blocking are accepted (warned no-ops) and
+    prefetch_factor maps onto the prefetch_to_device queue depth."""
+    from molecular_dynamics_neural_operator_tpu.cli import train as cli_train
+
+    run = tmp_path / "runw"
+    cli_train.main(_common(h5, run) + [
+        "--width", "8", "--kernel_width", "16", "--depth", "1",
+        "--num_data_workers", "4", "--prefetch_factor", "3",
+        "--persistent_workers", "True", "--non_blocking", "True",
+    ])
+    assert (run / "best.npz").exists()
