@@ -10,6 +10,7 @@ from molecular_dynamics_neural_operator_tpu.data.windows import (
 from molecular_dynamics_neural_operator_tpu.data.synthetic import (
     synthetic_trajectory,
     write_synthetic_h5,
+    write_synthetic_h5_streamed,
 )
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "batch_iterator",
     "synthetic_trajectory",
     "write_synthetic_h5",
+    "write_synthetic_h5_streamed",
 ]

@@ -62,12 +62,26 @@ def compute_node_features(
 @dataclass
 class TrajectoryData:
     """In-memory trajectory: positions (N, R, 3) f32, per-frame ragged COO
-    edge lists, amino-acid labels (R,) int32, optional rmsd (N,)."""
+    edge lists, amino-acid labels (R,) int32, optional rmsd (N,).
+
+    Edge lists live in ONE of two forms:
+
+    - ``edge_indices``: a Python list of (2, E_i) int arrays (small data,
+      direct construction), or
+    - packed CSR: ``edges_flat`` (2, total_edges) int32 +
+      ``edge_offsets`` (N+1,) int64 — the bounded-memory form used for
+      reference-scale loads (1FME is 1.1M frames; a million tiny numpy
+      objects cost ~15x the packed array in RAM and seconds to walk).
+
+    ``packed_edges()`` converts (and caches) list -> packed;
+    ``edge_index(i)`` gives a per-frame (2, E_i) view either way."""
 
     positions: np.ndarray
-    edge_indices: list  # list of (2, E_i) int arrays (ragged)
+    edge_indices: Optional[list]  # list of (2, E_i) int arrays (ragged)
     aminoacids: np.ndarray
     rmsd: Optional[np.ndarray] = None
+    edges_flat: Optional[np.ndarray] = None
+    edge_offsets: Optional[np.ndarray] = None
 
     @property
     def num_frames(self) -> int:
@@ -77,22 +91,54 @@ class TrajectoryData:
     def num_residues(self) -> int:
         return self.positions.shape[1]
 
+    def packed_edges(self):
+        """(edges_flat (2, total) int32, offsets (N+1,) int64), cached."""
+        if self.edges_flat is None:
+            counts = np.array(
+                [e.shape[1] for e in self.edge_indices], np.int64
+            )
+            offsets = np.zeros(len(counts) + 1, np.int64)
+            np.cumsum(counts, out=offsets[1:])
+            if len(self.edge_indices):
+                flat = np.concatenate(
+                    self.edge_indices, axis=1
+                ).astype(np.int32, copy=False)
+            else:
+                flat = np.zeros((2, 0), np.int32)
+            self.edges_flat, self.edge_offsets = flat, offsets
+        return self.edges_flat, self.edge_offsets
 
-def _read_one(
-    f,
-    edge_index_dset_name: str,
-    edge_attr_dset_name: str,
-    max_frames: int,
-):
-    edge_raw = f[edge_index_dset_name][:max_frames]
-    positions = np.asarray(f[edge_attr_dset_name][:max_frames])
-    rmsd = None
-    if "rmsd" in f:
-        try:
-            rmsd = np.asarray(f["rmsd"][:max_frames])
-        except Exception:
-            rmsd = None
-    return list(edge_raw), positions, rmsd
+    def edge_index(self, i: int) -> np.ndarray:
+        """(2, E_i) edge list of frame ``i`` (a view in packed form)."""
+        if self.edge_indices is not None:
+            return self.edge_indices[i]
+        o = self.edge_offsets
+        return self.edges_flat[:, o[i]:o[i + 1]]
+
+
+# Chunk sizes for bounded-memory reads: ~128k ragged edge lists / ~256k
+# position frames in flight at once (a few hundred MB peak at BBA shapes)
+# regardless of total file size.
+_EDGE_CHUNK = 131072
+_POS_CHUNK = 262144
+
+
+def _read_edges_packed(dset, max_frames: int, chunk: int = _EDGE_CHUNK):
+    """Chunked vlen read -> (list of (2, total_chunk) int32 blocks,
+    per-frame edge counts (n,) int64). Frames are flattened [rows; cols]
+    per the reference schema (``dataset.py:189`` reshapes with (2, -1))."""
+    n = min(dset.shape[0], max_frames)
+    blocks = []
+    counts = np.empty(n, np.int64)
+    for i0 in range(0, n, chunk):
+        raw = dset[i0:i0 + chunk]
+        parts = [np.asarray(b).reshape(2, -1) for b in raw]
+        counts[i0:i0 + len(parts)] = [p.shape[1] for p in parts]
+        blocks.append(
+            np.concatenate(parts, axis=1).astype(np.int32, copy=False)
+            if parts else np.zeros((2, 0), np.int32)
+        )
+    return blocks, counts
 
 
 def load_trajectory(
@@ -104,15 +150,17 @@ def load_trajectory(
     max_frames: int = 100_000_000,
 ) -> TrajectoryData:
     """Load one ``.h5`` file or a directory of them (concatenated in sorted
-    order). Positions are transposed from the on-disk (N, 3, R) to (N, R, 3)."""
+    order). Positions are transposed from the on-disk (N, 3, R) to (N, R, 3).
+
+    Edges come back in the packed CSR form (``TrajectoryData.edges_flat`` /
+    ``edge_offsets``), read in bounded-memory chunks — unlike the
+    reference's whole-ragged-file-into-python-objects load
+    (``dataset.py:110-141``), this holds at most a chunk of vlen objects
+    at a time and scales to the full 1FME 1.1M-frame trajectory. Per-frame
+    ``(2, E_i)`` views are available via ``TrajectoryData.edge_index(i)``."""
     import h5py
 
     path = Path(path)
-    edge_lists: list = []
-    position_chunks: list = []
-    rmsd_chunks: list = []
-    node_features = None
-
     if str(path).endswith(".h5"):
         files = [path]
     else:
@@ -120,18 +168,49 @@ def load_trajectory(
         if not files:
             raise FileNotFoundError(f"no .h5 files under {path}")
 
-    for i, fp in enumerate(files):
+    # Pass 1: per-file frame counts + residue count, so positions are
+    # allocated exactly once (no transpose-then-concatenate double copy).
+    sizes = []
+    num_residues = None
+    for fp in files:
         with h5py.File(fp, "r", libver="latest", swmr=False) as f:
-            e, p, r = _read_one(
-                f, edge_index_dset_name, edge_attr_dset_name, max_frames
+            shape = f[edge_attr_dset_name].shape  # (N, 3, R) on disk
+            sizes.append(min(shape[0], max_frames))
+            if num_residues is None:
+                num_residues = int(shape[2])
+
+    total = int(sum(sizes))
+    positions = np.empty((total, num_residues, 3), np.float32)
+    edge_blocks: list = []
+    counts_list: list = []
+    rmsd_chunks: list = []
+    node_features = None
+
+    base = 0
+    for i, fp in enumerate(files):
+        n = sizes[i]
+        with h5py.File(fp, "r", libver="latest", swmr=False) as f:
+            dset = f[edge_attr_dset_name]
+            for i0 in range(0, n, _POS_CHUNK):
+                i1 = min(i0 + _POS_CHUNK, n)
+                blk = np.asarray(dset[i0:i1])
+                # On-disk layout is (N, 3, R); reorder to (N, R, 3)
+                # (dataset.py:159) contiguously in place.
+                positions[base + i0:base + i1] = np.transpose(blk, (0, 2, 1))
+            blocks, counts = _read_edges_packed(
+                f[edge_index_dset_name], n
             )
-            edge_lists.extend(e)
-            position_chunks.append(p)
-            if r is not None:
-                rmsd_chunks.append(r)
+            edge_blocks.extend(blocks)
+            counts_list.append(counts)
+            if "rmsd" in f:
+                try:
+                    rmsd_chunks.append(np.asarray(f["rmsd"][:n]))
+                except Exception:
+                    pass
             if i == 0 and node_feature_dset_path is None:
                 if node_feature_dset_name in f:
                     node_features = np.asarray(f[node_feature_dset_name][...])
+        base += n
 
     if node_feature_dset_path is not None:
         with h5py.File(node_feature_dset_path, "r") as nf:
@@ -142,18 +221,22 @@ def load_trajectory(
             f"node features dataset '{node_feature_dset_name}' not found"
         )
 
-    positions = np.concatenate(position_chunks, axis=0).astype(np.float32)
-    # On-disk layout is (N, 3, R); reorder to (N, R, 3) (dataset.py:159).
-    # Materialize contiguously ONCE: a transpose view would make the native
-    # batch packer's ascontiguousarray copy the whole trajectory per batch.
-    positions = np.ascontiguousarray(np.transpose(positions, (0, 2, 1)))
-
-    edge_indices = [np.asarray(e).reshape(2, -1).astype(np.int32) for e in edge_lists]
+    edges_flat = (
+        np.concatenate(edge_blocks, axis=1)
+        if edge_blocks else np.zeros((2, 0), np.int32)
+    )
+    counts = (
+        np.concatenate(counts_list) if counts_list else np.zeros(0, np.int64)
+    )
+    offsets = np.zeros(len(counts) + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
     rmsd = np.concatenate(rmsd_chunks) if rmsd_chunks else None
 
     return TrajectoryData(
         positions=positions,
-        edge_indices=edge_indices,
+        edge_indices=None,
         aminoacids=np.asarray(node_features).astype(np.int32),
         rmsd=rmsd,
+        edges_flat=edges_flat,
+        edge_offsets=offsets,
     )

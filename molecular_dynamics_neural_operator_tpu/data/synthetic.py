@@ -3,10 +3,19 @@
 Generates a smooth pseudo-MD trajectory of a self-avoiding chain whose
 contact maps have realistic density (~180 edges at 8 A for 28 residues,
 matching the reference's measured graph size, ``bba_analysis.ipynb`` cell
-32), plus a writer that emits the reference HDF5 schema
+32), plus writers that emit the reference HDF5 schema
 (``contact_map`` ragged COO / ``point_cloud`` (N, 3, R) / ``amino_acids`` /
 ``rmsd``, ``/root/reference/dataset.py:110-127``) so the ingestion path is
 exercised end-to-end without real MD data.
+
+Two writers:
+
+- ``write_synthetic_h5``: in-memory, returns the ``TrajectoryData`` —
+  for tests (small N).
+- ``write_synthetic_h5_streamed``: chunked generation + batched vlen
+  writes, O(chunk) memory — emits reference-scale files (the 1FME dataset
+  is 1,114,545 frames, ``bba_analysis.ipynb`` cells 9-10) in minutes.
+  Bit-identical output to ``write_synthetic_h5`` for the same seed.
 """
 
 from __future__ import annotations
@@ -18,13 +27,11 @@ import numpy as np
 from molecular_dynamics_neural_operator_tpu.data.h5 import TrajectoryData
 
 
-def synthetic_trajectory(
-    num_frames: int = 256,
-    num_residues: int = 28,
-    threshold: float = 8.0,
-    seed: int = 0,
-) -> TrajectoryData:
-    """Random-walk chain with ~3.8 A bonds breathing smoothly over time."""
+def _chain_params(num_residues: int, seed: int):
+    """Deterministic per-seed chain geometry + deformation modes + labels.
+
+    RNG consumption order (steps, modes, phases, aa) matches the original
+    single-shot generator so all writers/generators agree per seed."""
     rng = np.random.default_rng(seed)
 
     # Base chain: cumulative random unit steps. The 5.5 A effective step
@@ -38,28 +45,60 @@ def synthetic_trajectory(
     base -= base.mean(axis=0)
 
     # Smooth temporal deformation: a few low-frequency modes.
-    t = np.linspace(0, 2 * np.pi, num_frames)[:, None, None]
     modes = rng.normal(scale=0.6, size=(3, num_residues, 3))
     freqs = np.array([1.0, 2.0, 3.0])[:, None, None, None]
     phases = rng.uniform(0, 2 * np.pi, size=(3, 1, 1))
+    aa = rng.integers(0, 20, size=num_residues).astype(np.int32)
+    return base, modes, freqs, phases, aa
+
+
+def _positions_at(base, modes, freqs, phases, t) -> np.ndarray:
+    """(len(t), R, 3) f32 positions at phase values ``t`` (radians)."""
+    t = t[:, None, None]
     wobble = sum(
         modes[k] * np.sin(freqs[k] * t + phases[k]) for k in range(3)
     )
-    positions = (base[None] + wobble).astype(np.float32)  # (N, R, 3)
+    return (base[None] + wobble).astype(np.float32)
 
-    d2 = np.sum(
-        (positions[:, :, None, :] - positions[:, None, :, :]) ** 2, axis=-1
-    )
+
+def _contact_edges(positions: np.ndarray, threshold: float):
+    """Vectorized ragged COO extraction for a block of frames.
+
+    Returns (list of flattened [rows; cols] int32 arrays, counts (C,))."""
+    # Gram-matrix distance: ||a-b||^2 = |a|^2 + |b|^2 - 2<a,b>. The batched
+    # 28x3x28 matmul rides BLAS; the naive (C, R, R, 3) broadcast-subtract
+    # temp is ~16x slower on this host's memory bandwidth.
+    n2 = np.einsum("irk,irk->ir", positions, positions)
+    g = np.matmul(positions, positions.swapaxes(1, 2))
+    d2 = n2[:, :, None] + n2[:, None, :] - 2.0 * g
     contact = d2 < threshold**2
-    edge_indices = []
-    for n in range(num_frames):
-        s, d = np.nonzero(contact[n])
-        edge_indices.append(np.stack([s, d]).astype(np.int32))
+    counts = contact.sum(axis=(1, 2))
+    _, s, d = np.nonzero(contact)  # frame-major order
+    splits = np.cumsum(counts)[:-1]
+    s_parts = np.split(s.astype(np.int32), splits)
+    d_parts = np.split(d.astype(np.int32), splits)
+    flat = [np.concatenate([a, b]) for a, b in zip(s_parts, d_parts)]
+    return flat, counts
 
-    aa = rng.integers(0, 20, size=num_residues).astype(np.int32)
-    rmsd = np.linalg.norm(
-        positions - positions[0], axis=(1, 2)
-    ).astype(np.float32) / np.sqrt(num_residues)
+
+def synthetic_trajectory(
+    num_frames: int = 256,
+    num_residues: int = 28,
+    threshold: float = 8.0,
+    seed: int = 0,
+) -> TrajectoryData:
+    """Random-walk chain with ~3.8 A bonds breathing smoothly over time."""
+    base, modes, freqs, phases, aa = _chain_params(num_residues, seed)
+    t = np.linspace(0, 2 * np.pi, num_frames)
+    positions = _positions_at(base, modes, freqs, phases, t)  # (N, R, 3)
+
+    flat, _ = _contact_edges(positions, threshold)
+    edge_indices = [e.reshape(2, -1) for e in flat]
+
+    rmsd = (
+        np.linalg.norm(positions - positions[0], axis=(1, 2))
+        / np.sqrt(num_residues)
+    ).astype(np.float32)
 
     return TrajectoryData(
         positions=positions,
@@ -84,14 +123,82 @@ def write_synthetic_h5(
     with h5py.File(path, "w") as f:
         # Ragged COO stored flattened per frame ([rows...; cols...]), the
         # layout ContactMapDataset reshapes with .reshape(2, -1)
-        # (dataset.py:189).
+        # (dataset.py:189). One slice assignment batches the vlen writes.
         dt = h5py.vlen_dtype(np.int32)
         cm = f.create_dataset("contact_map", (traj.num_frames,), dtype=dt)
-        for i, e in enumerate(traj.edge_indices):
-            cm[i] = e.reshape(-1)
+        cm[:] = [e.reshape(-1) for e in traj.edge_indices]
         f.create_dataset(
             "point_cloud", data=np.transpose(traj.positions, (0, 2, 1))
         )
         f.create_dataset("amino_acids", data=traj.aminoacids)
         f.create_dataset("rmsd", data=traj.rmsd)
     return traj
+
+
+def write_synthetic_h5_streamed(
+    path,
+    num_frames: int,
+    num_residues: int = 28,
+    threshold: float = 8.0,
+    seed: int = 0,
+    chunk_frames: int = 65536,
+    progress: bool = False,
+) -> dict:
+    """Reference-scale synthetic h5 writer: O(chunk_frames) host memory.
+
+    Generates positions/contacts chunk-by-chunk (the full (N, R, R)
+    distance tensor of the one-shot path would be terabytes at 1FME's
+    1.1M frames) and batches each chunk's ragged vlen writes into a single
+    h5py slice assignment — the per-frame write loop was the round-2
+    blocker for full-scale ingestion evidence. Output is bit-identical to
+    ``write_synthetic_h5(path, num_frames, ...)`` for the same seed.
+
+    Returns a summary dict (frames, total/max edge counts, bytes)."""
+    import h5py
+
+    base, modes, freqs, phases, aa = _chain_params(num_residues, seed)
+    t_all = np.linspace(0, 2 * np.pi, num_frames)
+
+    path = Path(path)
+    total_edges = 0
+    max_edges = 0
+    with h5py.File(path, "w") as f:
+        dt = h5py.vlen_dtype(np.int32)
+        cm = f.create_dataset(
+            "contact_map", (num_frames,), dtype=dt,
+            chunks=(min(num_frames, 4096),),
+        )
+        pc = f.create_dataset(
+            "point_cloud", (num_frames, 3, num_residues), dtype=np.float32,
+            chunks=(min(num_frames, 4096), 3, num_residues),
+        )
+        rm = f.create_dataset("rmsd", (num_frames,), dtype=np.float32)
+        f.create_dataset("amino_acids", data=aa)
+
+        pos0 = None
+        for i0 in range(0, num_frames, chunk_frames):
+            i1 = min(i0 + chunk_frames, num_frames)
+            pos = _positions_at(base, modes, freqs, phases, t_all[i0:i1])
+            if pos0 is None:
+                pos0 = pos[0]
+            flat, counts = _contact_edges(pos, threshold)
+            cm[i0:i1] = flat
+            pc[i0:i1] = np.transpose(pos, (0, 2, 1))
+            rm[i0:i1] = (
+                np.linalg.norm(pos - pos0[None], axis=(1, 2))
+                / np.sqrt(num_residues)
+            ).astype(np.float32)
+            total_edges += int(counts.sum())
+            max_edges = max(max_edges, int(counts.max()))
+            if progress:
+                print(f"[write_synthetic_h5_streamed] {i1}/{num_frames} "
+                      f"frames", flush=True)
+
+    return {
+        "path": str(path),
+        "num_frames": num_frames,
+        "num_residues": num_residues,
+        "total_edges": total_edges,
+        "max_edges_per_frame": max_edges,
+        "file_bytes": path.stat().st_size,
+    }

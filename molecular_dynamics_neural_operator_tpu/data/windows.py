@@ -62,17 +62,11 @@ class WindowDataset:
         self.num_residues = traj.num_residues
 
         if use_stored_contact_maps:
-            # CSR-like packing of the ragged COO lists: one concatenation at
-            # init, O(1) slicing per frame afterwards.
-            counts = np.array([e.shape[1] for e in traj.edge_indices], np.int64)
-            self._offsets = np.zeros(len(counts) + 1, np.int64)
-            np.cumsum(counts, out=self._offsets[1:])
-            if len(traj.edge_indices):
-                self._edges_flat = np.concatenate(
-                    traj.edge_indices, axis=1
-                ).astype(np.int32)
-            else:
-                self._edges_flat = np.zeros((2, 0), np.int32)
+            # CSR-like packing of the ragged COO lists (one concatenation,
+            # O(1) slicing per frame). load_trajectory already delivers the
+            # packed form; list-built TrajectoryData packs (and caches) here.
+            self._edges_flat, self._offsets = traj.packed_edges()
+            counts = np.diff(self._offsets)
             self._max_stored = int(counts.max()) if len(counts) else 0
             if graph_mode == "sparse" and self._max_stored > max_edges:
                 raise ValueError(

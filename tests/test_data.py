@@ -31,9 +31,12 @@ def test_h5_roundtrip(tmp_path):
     np.testing.assert_allclose(loaded.positions, traj.positions, rtol=1e-6)
     np.testing.assert_array_equal(loaded.aminoacids, traj.aminoacids)
     np.testing.assert_allclose(loaded.rmsd, traj.rmsd, rtol=1e-6)
-    assert len(loaded.edge_indices) == 32
-    for a, b in zip(loaded.edge_indices, traj.edge_indices):
-        np.testing.assert_array_equal(a, b)
+    # load_trajectory returns the packed CSR form (bounded-memory load);
+    # per-frame views must equal the list-form generator's edge lists.
+    assert loaded.edge_indices is None
+    assert len(loaded.edge_offsets) == 32 + 1
+    for i, b in enumerate(traj.edge_indices):
+        np.testing.assert_array_equal(loaded.edge_index(i), b)
 
 
 def test_h5_directory_mode(tmp_path):
@@ -162,3 +165,61 @@ def test_eval_remainder_padding_single_shape():
         nb += 1
     for k in tot:
         np.testing.assert_allclose(m_pad[k], tot[k] / nb, rtol=1e-5)
+
+
+def test_streamed_writer_bit_identical(tmp_path):
+    """write_synthetic_h5_streamed (chunked generation + batched vlen
+    writes, O(chunk) memory — the reference-scale path) produces a byte-
+    equivalent dataset to the in-memory writer for the same seed."""
+    import h5py
+
+    from molecular_dynamics_neural_operator_tpu.data import (
+        write_synthetic_h5_streamed,
+    )
+
+    a = tmp_path / "small.h5"
+    b = tmp_path / "streamed.h5"
+    traj = write_synthetic_h5(a, num_frames=50, num_residues=12, seed=7)
+    info = write_synthetic_h5_streamed(
+        b, num_frames=50, num_residues=12, seed=7, chunk_frames=16
+    )
+    assert info["num_frames"] == 50
+    assert info["max_edges_per_frame"] == max(
+        e.shape[1] for e in traj.edge_indices
+    )
+    with h5py.File(a) as fa, h5py.File(b) as fb:
+        np.testing.assert_array_equal(fa["point_cloud"][...],
+                                      fb["point_cloud"][...])
+        np.testing.assert_array_equal(fa["amino_acids"][...],
+                                      fb["amino_acids"][...])
+        np.testing.assert_array_equal(fa["rmsd"][...], fb["rmsd"][...])
+        for x, y in zip(fa["contact_map"][...], fb["contact_map"][...]):
+            np.testing.assert_array_equal(x, y)
+
+    la = load_trajectory(a)
+    lb = load_trajectory(b)
+    np.testing.assert_array_equal(la.edges_flat, lb.edges_flat)
+    np.testing.assert_array_equal(la.edge_offsets, lb.edge_offsets)
+    np.testing.assert_array_equal(la.positions, lb.positions)
+
+
+def test_packed_and_list_trajectories_equivalent_in_dataset(tmp_path):
+    """WindowDataset batches are identical whether the trajectory arrives
+    packed (load_trajectory) or as a ragged list (synthetic_trajectory)."""
+    from molecular_dynamics_neural_operator_tpu.data import (
+        WindowDataset,
+        synthetic_trajectory,
+    )
+
+    path = tmp_path / "t.h5"
+    write_synthetic_h5(path, num_frames=40, num_residues=11, seed=3)
+    packed = load_trajectory(path)
+    listed = synthetic_trajectory(num_frames=40, num_residues=11, seed=3)
+    da = WindowDataset(packed, window_size=5, graph_mode="sparse",
+                       max_edges=160)
+    db = WindowDataset(listed, window_size=5, graph_mode="sparse",
+                       max_edges=160)
+    ba = da.get_batch([0, 3, 17])
+    bb = db.get_batch([0, 3, 17])
+    for k in ba:
+        np.testing.assert_array_equal(ba[k], bb[k])
