@@ -1,0 +1,151 @@
+"""Reference-scale data campaign: ingestion -> training -> accuracy gate
+at the FULL 1FME dataset size (1,114,545 frames, ``bba_analysis.ipynb``
+cells 9-10 / ``/root/reference/dataset.py:110-141``).
+
+Round-2 evidence stopped at 120k synthetic frames (~11% of 1FME); this
+tool drives the whole chain at the real scale:
+
+1. ``write_synthetic_h5_streamed`` emits a real-schema 1.1M-frame file
+   (unless ``--data`` points at an existing one),
+2. ``load_trajectory`` ingests it through the packed bounded-memory path
+   (timed; RSS reported),
+3. the flagship curriculum recipe trains for EXACTLY one epoch's worth of
+   optimizer steps over the 80% train split (~891k windows),
+4. the free-rollout accuracy gate runs from the validation region
+   (same metrics as tools/accuracy_eval.py).
+
+Run on TPU:  python tools/full_scale_campaign.py --data runs/synth_1FME_full.h5
+Artifact:    tools/full_scale_results.json
+"""
+
+import argparse
+import json
+import resource
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", type=Path,
+                   default=Path("runs/synth_1FME_full.h5"))
+    p.add_argument("--frames", type=int, default=1_114_545)
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--k", type=int, default=4)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--horizon", type=int, default=100)
+    p.add_argument("--max_edges", type=int, default=224)
+    p.add_argument("--steps", type=int, default=0,
+                   help="0 = exactly one epoch over the train split")
+    p.add_argument("--out", type=Path,
+                   default=Path("tools/full_scale_results.json"))
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from molecular_dynamics_neural_operator_tpu.configs import (
+        ModelConfig,
+        TrainConfig,
+    )
+    from molecular_dynamics_neural_operator_tpu.data import (
+        WindowDataset,
+        load_trajectory,
+        write_synthetic_h5_streamed,
+    )
+    from molecular_dynamics_neural_operator_tpu.geometry import contact_map
+    from molecular_dynamics_neural_operator_tpu.rollout import (
+        rollout_with_mse,
+    )
+    from molecular_dynamics_neural_operator_tpu.train import (
+        train_valid_split,
+    )
+    from molecular_dynamics_neural_operator_tpu.train.recipe import (
+        train_curriculum_recipe,
+    )
+
+    def rss_gb():
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+    out = {"dataset_frames": args.frames}
+
+    if not args.data.exists():
+        print(f"writing {args.frames:,}-frame synthetic 1FME-schema file "
+              f"to {args.data} ...", flush=True)
+        t0 = time.time()
+        info = write_synthetic_h5_streamed(
+            args.data, num_frames=args.frames, seed=0, chunk_frames=32768
+        )
+        out["write_seconds"] = round(time.time() - t0, 1)
+        out["file_bytes"] = info["file_bytes"]
+        print(f"wrote {info['file_bytes'] / 1e9:.2f} GB in "
+              f"{out['write_seconds']}s", flush=True)
+
+    t0 = time.time()
+    traj = load_trajectory(args.data)
+    out["ingest_seconds"] = round(time.time() - t0, 1)
+    out["ingest_rss_gb"] = round(rss_gb(), 2)
+    out["frames_loaded"] = traj.num_frames
+    out["total_edges"] = int(traj.edges_flat.shape[1])
+    print(f"ingested {traj.num_frames:,} frames "
+          f"({out['total_edges']:,} edges) in {out['ingest_seconds']}s, "
+          f"RSS {out['ingest_rss_gb']} GB", flush=True)
+
+    cfg = ModelConfig(compute_dtype="bfloat16", graph_mode="sparse",
+                      max_edges=args.max_edges, predict_delta=True,
+                      train_conv_impl="pallas")
+    tcfg = TrainConfig(lr=args.lr, weight_decay=1e-6,
+                       batch_size=args.batch, grad_clip_norm=0.5,
+                       skip_nonfinite_updates=True)
+    ds = WindowDataset(traj, window_size=cfg.window_size,
+                       graph_mode="sparse", max_edges=args.max_edges)
+    tr_idx, va_idx = train_valid_split(len(ds), 0.8, "partition")
+    steps = args.steps or len(tr_idx) // args.batch
+    out["train_windows"] = int(len(tr_idx))
+    out["train_steps"] = int(steps)
+    print(f"{len(ds):,} windows; training {steps:,} steps of B={args.batch} "
+          f"= one epoch over the train split", flush=True)
+
+    state, seconds, last_loss = train_curriculum_recipe(
+        cfg, tcfg, ds, tr_idx, steps=steps, k=args.k, warmup_frac=0.5,
+        coord_clip=1000.0, log_every=500, log_prefix="[epoch] ",
+    )
+    out["train_seconds"] = round(seconds, 1)
+    out["samples_per_sec"] = round(steps * args.batch / seconds, 1)
+    out["final_train_loss"] = last_loss
+    # the notebook-parseable epoch line (graph_kernel.py:623-628 format)
+    print(f"Epoch: 0\tTime: {seconds:.1f}\ttrain_loss: {last_loss:.6f}\t"
+          f"valid_loss: nan", flush=True)
+
+    aa = jnp.asarray(traj.aminoacids)
+    start = int(va_idx[0])
+    w0 = jnp.asarray(traj.positions[start:start + cfg.window_size])
+    lo = start + cfg.window_size
+    truth = jnp.asarray(traj.positions[lo:lo + args.horizon])
+    coords, mses, _ = jax.jit(
+        lambda p, a, w, t: rollout_with_mse(p, cfg, a, w, t)
+    )(state.params, aa, w0, truth)
+    coords = np.asarray(coords)
+    mses = np.asarray(mses)
+
+    cm_pred = np.asarray(contact_map(jnp.asarray(coords), 8.0))
+    cm_true = np.asarray(contact_map(truth, 8.0))
+    cm_acc = np.mean(cm_pred == cm_true, axis=(1, 2))
+    out["rollout_horizon"] = args.horizon
+    out["rollout_finite_steps"] = int(
+        np.isfinite(coords).all(axis=(1, 2)).sum()
+    )
+    out["coord_mse_step1"] = float(mses[0])
+    out["coord_mse_step100"] = float(mses[min(99, len(mses) - 1)])
+    out["contact_map_accuracy_mean"] = float(cm_acc.mean())
+    out["peak_rss_gb"] = round(rss_gb(), 2)
+
+    print(json.dumps(out, indent=2))
+    args.out.write_text(json.dumps(out, indent=2) + "\n")
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
