@@ -85,6 +85,13 @@ def parse_args(argv=None):
                         "count of ~216 incl. self-loops and is ~15%% "
                         "faster than the conservative 384 default; "
                         "overflow is diagnosed per epoch)")
+    p.add_argument("--edge_layout", choices=["csr", "blocked"],
+                   default="csr",
+                   help="'blocked' packs training edge lists in the "
+                        "cell-list block layout (slot n*max_degree+d "
+                        "targets node n; max_edges must be divisible by "
+                        "num_residues) so large-system aggregation uses "
+                        "dense per-node reductions instead of scatters")
     p.add_argument("--train_conv_impl", choices=["auto", "xla", "pallas"],
                    default="auto",
                    help="batched conv-stack implementation: 'pallas' keeps "
@@ -152,6 +159,10 @@ def build_configs(args):
         num_residues=args.num_residues,
         graph_mode=args.graph_mode,
         max_edges=args.max_edges,
+        scatter_mode=(
+            "blocked" if getattr(args, "edge_layout", "csr") == "blocked"
+            else "auto"
+        ),
         compute_dtype=args.compute_dtype,
         predict_delta=args.predict_delta,
         electrostatics=args.electrostatics,
@@ -400,6 +411,7 @@ def main(argv=None):
         threshold=data_cfg.threshold,
         graph_mode=model_cfg.graph_mode,
         max_edges=model_cfg.max_edges,
+        edge_layout=args.edge_layout,
     )
     print(f"Created dataset: {len(dataset)} windows, "
           f"{traj.num_residues} residues")

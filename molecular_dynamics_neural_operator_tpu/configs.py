@@ -78,6 +78,13 @@ class ModelConfig:
     # for the cell-list layout.
     neighbor_impl: str = "dense_rank"
     max_degree: int = 32
+    # Sparse aggregation strategy for training/eval forwards: "auto" picks
+    # one-hot incidence matmuls up to SCATTER_ONEHOT_MAX_NODES then
+    # segment_sum; "blocked" requires edge lists in the cell-list block
+    # layout (WindowDataset edge_layout="blocked" / geometry/cells.py) and
+    # replaces the scatter with a dense per-node reduction — the large-R
+    # training win. "onehot"/"segment" force those modes.
+    scatter_mode: str = "auto"
     cell_capacity: int = 16
     num_cells: int = 4096
     # Electrostatic node features (BASELINE config 5): "dh" appends the

@@ -44,6 +44,7 @@ class WindowDataset:
         max_edges: int = 384,
         use_stored_contact_maps: bool = True,
         use_native: bool = True,
+        edge_layout: str = "csr",  # "csr" | "blocked"
     ):
         if traj.num_frames - window_size - horizon + 1 < 0:
             raise ValueError(
@@ -60,6 +61,25 @@ class WindowDataset:
         # fallback when the toolchain/library is unavailable.
         self.use_native = use_native and packing.available()
         self.num_residues = traj.num_residues
+        if edge_layout not in ("csr", "blocked"):
+            raise ValueError(f"unknown edge_layout: {edge_layout}")
+        self.edge_layout = edge_layout
+        if edge_layout == "blocked":
+            # Cell-list block layout for TRAINING graphs: edge slot
+            # n*max_degree + d targets node n, so the batched conv's
+            # edges->nodes aggregation becomes a dense per-node reduction
+            # (edge_conv.py scatter_mode="blocked") instead of a vmapped
+            # segment_sum — the scatter-free win that previously covered
+            # rollout only (geometry/cells.py layout).
+            if graph_mode != "sparse":
+                raise ValueError("edge_layout='blocked' requires sparse "
+                                 "graph_mode")
+            if max_edges % traj.num_residues:
+                raise ValueError(
+                    f"blocked layout needs max_edges divisible by "
+                    f"num_residues; got {max_edges} % {traj.num_residues}"
+                )
+            self.max_degree = max_edges // traj.num_residues
 
         if use_stored_contact_maps:
             # CSR-like packing of the ragged COO lists (one concatenation,
@@ -121,8 +141,53 @@ class WindowDataset:
         )
         return (d2 < self.threshold**2).astype(np.float32)
 
+    def _sparse_edges_blocked(self, idx: np.ndarray):
+        """(B, 2, E) + mask in the cell-list block layout: each target
+        node n owns slots [n*max_degree, (n+1)*max_degree); its incoming
+        edges fill them front-to-back. Fully vectorized (one stable
+        argsort over the batch's edges)."""
+        b = len(idx)
+        r = self.num_residues
+        max_deg = self.max_degree
+        starts = self._offsets[idx]
+        ends = self._offsets[idx + 1]
+        counts = (ends - starts).astype(np.int64)
+        edge_slots = np.concatenate(
+            [np.arange(s, e) for s, e in zip(starts, ends)]
+        ) if b else np.zeros(0, np.int64)
+        owner = np.repeat(np.arange(b), counts)
+        src = self._edges_flat[0, edge_slots].astype(np.int64)
+        dst = self._edges_flat[1, edge_slots].astype(np.int64)
+
+        # Rank of each edge within its (example, target-node) group.
+        key = owner * r + dst
+        order = np.argsort(key, kind="stable")
+        sk = key[order]
+        change = np.ones(len(sk), bool)
+        change[1:] = sk[1:] != sk[:-1]
+        group_start = np.flatnonzero(change)
+        group_id = np.cumsum(change) - 1
+        rank = np.arange(len(sk)) - group_start[group_id]
+        if len(rank) and int(rank.max()) >= max_deg:
+            raise ValueError(
+                f"node in-degree {int(rank.max()) + 1} exceeds the blocked "
+                f"layout's max_degree {max_deg} "
+                f"(= max_edges {self.max_edges} / num_residues {r})"
+            )
+
+        slot = dst[order] * max_deg + rank
+        ow = owner[order]
+        edges = np.zeros((b, 2, self.max_edges), np.int32)
+        mask = np.zeros((b, self.max_edges), np.float32)
+        edges[ow, 0, slot] = src[order]
+        edges[ow, 1, slot] = dst[order]
+        mask[ow, slot] = 1.0
+        return edges, mask
+
     def _sparse_edges(self, idx: np.ndarray):
         """Padded edge lists (B, 2, E) + mask (B, E) from stored COO."""
+        if self.edge_layout == "blocked" and self.use_stored_contact_maps:
+            return self._sparse_edges_blocked(idx)
         b = len(idx)
         e_max = self.max_edges
         edges = np.zeros((b, 2, e_max), np.int32)

@@ -226,6 +226,8 @@ def gkn_apply_single(
             SCATTER_ONEHOT_MAX_NODES,
         )
 
+        if cfg.scatter_mode != "auto" and scatter_hint is None:
+            scatter_hint = cfg.scatter_mode
         scatter = scatter_hint or (
             "onehot" if num_nodes <= SCATTER_ONEHOT_MAX_NODES
             else "segment"

@@ -223,3 +223,41 @@ def test_packed_and_list_trajectories_equivalent_in_dataset(tmp_path):
     bb = db.get_batch([0, 3, 17])
     for k in ba:
         np.testing.assert_array_equal(ba[k], bb[k])
+
+
+def test_blocked_edge_layout_roundtrip(tiny_traj):
+    """Blocked layout (slot n*max_degree+d -> node n): same edge SET as
+    CSR packing, slots grouped by target node."""
+    r = tiny_traj.num_residues
+    e_max = 32 * r
+    csr = WindowDataset(tiny_traj, window_size=4, graph_mode="sparse",
+                        max_edges=e_max)
+    blk = WindowDataset(tiny_traj, window_size=4, graph_mode="sparse",
+                        max_edges=e_max, edge_layout="blocked")
+    idx = [0, 5, 13]
+    a = csr.get_batch(idx)
+    b = blk.get_batch(idx)
+    assert b["edges"].shape == a["edges"].shape
+    max_deg = e_max // r
+    for i in range(len(idx)):
+        na = int(a["mask"][i].sum())
+        nb = int(b["mask"][i].sum())
+        assert na == nb
+        ea = {tuple(e) for e in a["edges"][i, :, :na].T}
+        on = b["mask"][i] > 0
+        eb = {tuple(e) for e in b["edges"][i][:, on].T}
+        assert ea == eb
+        # every real slot targets its block's node
+        slots = np.flatnonzero(on)
+        np.testing.assert_array_equal(b["edges"][i, 1, slots],
+                                      slots // max_deg)
+
+
+def test_blocked_layout_degree_overflow_raises(tiny_traj):
+    r = tiny_traj.num_residues
+    # capacity 7*r=84 passes the total-edge check (max stored 78) but
+    # max_degree 7 < frame 0's real in-degree 8 -> batch-time error
+    ds = WindowDataset(tiny_traj, window_size=4, graph_mode="sparse",
+                       max_edges=7 * r, edge_layout="blocked")
+    with pytest.raises(ValueError, match="in-degree"):
+        ds.get_batch([0])

@@ -136,3 +136,48 @@ def test_single_and_batched_agree(tiny_model_cfg):
         DenseGraph(batch.graph.adj[0], batch.graph.edge_feats[0]),
     )
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(one), rtol=1e-5, atol=1e-6)
+
+
+def test_blocked_scatter_training_forward_matches_segment():
+    """Blocked-layout training batches (WindowDataset edge_layout=
+    'blocked' + ModelConfig scatter_mode='blocked') produce the same
+    forward as the CSR/segment path — the large-R scatter-free training
+    aggregation is math-equal to segment_sum."""
+    import dataclasses
+
+    import jax
+
+    from molecular_dynamics_neural_operator_tpu.configs import ModelConfig
+    from molecular_dynamics_neural_operator_tpu.data import (
+        WindowDataset,
+        synthetic_trajectory,
+    )
+    from molecular_dynamics_neural_operator_tpu.models import (
+        gkn_apply,
+        gkn_init,
+    )
+    from molecular_dynamics_neural_operator_tpu.train.loop import (
+        featurize_batch,
+    )
+
+    traj = synthetic_trajectory(num_frames=16, num_residues=12, seed=3)
+    e_max = 16 * 12
+    cfg = ModelConfig(width=8, ker_width=16, depth=2, window_size=4,
+                      num_residues=12, graph_mode="sparse",
+                      max_edges=e_max, compute_dtype="float32",
+                      scatter_mode="segment")
+    params = gkn_init(jax.random.PRNGKey(1), cfg)
+
+    ds_csr = WindowDataset(traj, window_size=4, graph_mode="sparse",
+                           max_edges=e_max)
+    ds_blk = WindowDataset(traj, window_size=4, graph_mode="sparse",
+                           max_edges=e_max, edge_layout="blocked")
+    idx = [0, 3, 9]
+    out_csr = gkn_apply(
+        params, cfg, featurize_batch(cfg, ds_csr.get_batch(idx))
+    )
+    cfg_blk = dataclasses.replace(cfg, scatter_mode="blocked")
+    out_blk = gkn_apply(
+        params, cfg_blk, featurize_batch(cfg_blk, ds_blk.get_batch(idx))
+    )
+    np.testing.assert_allclose(out_blk, out_csr, rtol=2e-5, atol=2e-6)
