@@ -43,6 +43,10 @@ def main():
     p.add_argument("--electrostatics", choices=["none", "dh"], default="dh",
                    help="include the on-device DH potential node feature "
                         "(BASELINE config 5: 'with electrostatics features')")
+    p.add_argument("--train", action="store_true",
+                   help="also measure the teacher-forced TRAINING step "
+                        "(loss+grad+adam) at this scale, segment vs "
+                        "blocked aggregation at equal edge capacity")
     args = p.parse_args()
 
     cfg = dataclasses.replace(
@@ -112,8 +116,83 @@ def main():
     c, _, diags = roll(params, aa, window); float(jnp.sum(c))
     roll2_s = time.perf_counter() - t0
 
+    train_out = {}
+    if args.train:
+        # 10k-atom TRAINING step: segment_sum aggregation over the CSR
+        # edges vs the blocked layout's dense per-node reductions
+        # (edge_conv.py scatter_mode="blocked"), at EQUAL capacity so the
+        # edge-MLP work matches. The blocked win previously covered
+        # rollout only (VERDICT r2 weak #3).
+        from molecular_dynamics_neural_operator_tpu.configs import (
+            TrainConfig,
+        )
+        from molecular_dynamics_neural_operator_tpu.train import (
+            create_train_state,
+        )
+        from molecular_dynamics_neural_operator_tpu.train.loop import (
+            make_train_step,
+        )
+
+        max_deg = 24
+        cap_t = r * max_deg
+        y = jnp.asarray(base + 0.05 * t)[None]
+
+        # blocked: slot i*max_deg + k holds (src=nbr_k(i), dst=i); the
+        # banded chain graph is symmetric so nbr(i) are exactly the
+        # in-edges of i.
+        eb = np.zeros((2, cap_t), np.int32)
+        mb = np.zeros((cap_t,), np.float32)
+        # CSR/segment at the same capacity
+        es = np.zeros((2, cap_t), np.int32)
+        ms = np.zeros((cap_t,), np.float32)
+        k0 = 0
+        for i, nbr in enumerate(dst_list):
+            n = len(nbr)
+            if n > max_deg:
+                raise SystemExit(f"node {i} degree {n} > {max_deg}")
+            eb[0, i * max_deg:i * max_deg + n] = nbr
+            eb[1, i * max_deg:i * max_deg + n] = i
+            mb[i * max_deg:i * max_deg + n] = 1.0
+            es[0, k0:k0 + n] = nbr
+            es[1, k0:k0 + n] = i
+            ms[k0:k0 + n] = 1.0
+            k0 += n
+
+        def train_rate(mode, edges_np, mask_np):
+            cfg_t = dataclasses.replace(cfg, max_edges=cap_t,
+                                        scatter_mode=mode)
+            batch_t = {
+                "aa": aa, "window": window[None], "y": y,
+                "edges": jnp.asarray(edges_np)[None],
+                "mask": jnp.asarray(mask_np)[None],
+            }
+            state, tx, _ = create_train_state(
+                jax.random.PRNGKey(0), cfg_t,
+                TrainConfig(lr=1e-4, batch_size=1))
+            step = make_train_step(cfg_t, tx, donate=False)
+            s, m = step(state, batch_t)
+            float(m["rel_l2"])  # compile + completion
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                s, m = step(state, batch_t)
+                lv = float(m["rel_l2"])
+                best = min(best, time.perf_counter() - t0)
+            return best, lv
+
+        seg_s, seg_loss = train_rate("segment", es, ms)
+        blk_s, blk_loss = train_rate("blocked", eb, mb)
+        train_out = {
+            "train_edge_capacity": cap_t,
+            "train_step_segment_s": round(seg_s, 3),
+            "train_step_blocked_s": round(blk_s, 3),
+            "train_loss_segment": round(seg_loss, 6),
+            "train_loss_blocked": round(blk_loss, 6),
+        }
+
     print(json.dumps({
         "nodes": r, "edge_capacity": cap, "real_edges": int(e),
+        **train_out,
         "ker_width": args.ker_width, "electrostatics": args.electrostatics,
         "compile_s": round(compile_s, 1),
         "forward_s": round(fwd_s, 3),
