@@ -118,6 +118,16 @@ class BestCheckpointer:
         self.run_dir.mkdir(parents=True, exist_ok=True)
         self.best_loss = float("inf")
         self.save_last_every = max(1, save_last_every)
+        # On resume, seed best_loss from an existing best.npz so a
+        # worse-than-historic-best epoch after the restart cannot
+        # overwrite the run's true best checkpoint.
+        side = self.run_dir / "best.npz.json"
+        if side.exists():
+            try:
+                meta = json.loads(side.read_text()).get("metadata", {})
+                self.best_loss = float(meta.get("valid_loss", float("inf")))
+            except (ValueError, OSError):
+                pass
 
     def update(self, epoch: int, valid_loss: float, state) -> bool:
         """Returns True if this epoch was the new best."""

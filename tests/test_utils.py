@@ -74,6 +74,20 @@ def test_best_checkpointer_tracks_improvement(tmp_path):
     assert (tmp_path / "last.npz").exists()
 
 
+def test_best_checkpointer_survives_resume(tmp_path):
+    # A fresh BestCheckpointer in the same run_dir (i.e. a resumed run)
+    # must not let a worse epoch clobber the historic best.npz.
+    state = _state()
+    ck = BestCheckpointer(tmp_path)
+    ck.update(0, 0.5, state)
+    ck2 = BestCheckpointer(tmp_path)  # simulated restart
+    assert ck2.best_loss == 0.5
+    assert ck2.update(1, 0.9, state) is False
+    _, meta = restore_checkpoint(tmp_path / "best.npz", state)
+    assert meta["epoch"] == 0 and meta["valid_loss"] == 0.5
+    assert ck2.update(2, 0.4, state) is True
+
+
 def test_epoch_line_roundtrip():
     line = format_epoch_line(3, 12.5, 0.25, 0.5)
     rows = parse_loss_log("junk\n" + line + "\nmore junk")

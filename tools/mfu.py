@@ -18,6 +18,7 @@ VERDICT r2 asked for.)
 
 import argparse
 import json
+from pathlib import Path
 
 V5E_BF16_PEAK = 197e12
 
@@ -83,14 +84,23 @@ def main():
               f"{rate:,.0f}/s = {tf / 1e12:.1f} TFLOP/s "
               f"-> {mfu * 100:.1f}% of bf16 peak", flush=True)
 
-    # --- rollout (XLA scan): flops per step from a 2-length program delta
+    # --- rollout (XLA scan). XLA's HLO cost analysis counts a lax.scan
+    # body ONCE regardless of trip count (measured: flops(100 steps) ==
+    # flops(200 steps) exactly), so the whole-program figure IS one
+    # step's flops plus a small one-time prologue (window setup); use it
+    # directly, and assert the body-once behavior so a future XLA that
+    # starts multiplying by trip count fails loudly instead of silently
+    # inflating MFU 100x.
     def roll_n(n):
         return jax.jit(lambda p, a, w: rollout_scan(
             p, cfg, a, w, num_steps=n, clip=100.0)[0])
 
     f1 = flops_of(roll_n(100), params, aa, w0)
     f2 = flops_of(roll_n(200), params, aa, w0)
-    flops_step = (f2 - f1) / 100.0
+    assert f2 == f1, (
+        f"cost_analysis now scales with scan trip count ({f1} vs {f2}); "
+        "switch flops_step back to the program delta")
+    flops_step = f1
 
     def run_roll(n):
         return min_time(roll_n(n), params, aa, w0)
@@ -147,6 +157,9 @@ def main():
         1e3 / k_rate, 2)
 
     print(json.dumps(results, indent=2))
+    out = Path(__file__).parent / "mfu_results.json"
+    out.write_text(json.dumps(results, indent=2))
+    print(f"wrote {out}")
 
 
 if __name__ == "__main__":
