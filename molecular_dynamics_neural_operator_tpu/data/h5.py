@@ -123,15 +123,16 @@ _EDGE_CHUNK = 131072
 _POS_CHUNK = 262144
 
 
-def _read_edges_packed(dset, max_frames: int, chunk: int = _EDGE_CHUNK):
+def _read_edges_packed(dset, max_frames: int, chunk: Optional[int] = None):
     """Chunked vlen read -> (list of (2, total_chunk) int32 blocks,
     per-frame edge counts (n,) int64). Frames are flattened [rows; cols]
     per the reference schema (``dataset.py:189`` reshapes with (2, -1))."""
+    chunk = _EDGE_CHUNK if chunk is None else chunk
     n = min(dset.shape[0], max_frames)
     blocks = []
     counts = np.empty(n, np.int64)
     for i0 in range(0, n, chunk):
-        raw = dset[i0:i0 + chunk]
+        raw = dset[i0:min(i0 + chunk, n)]
         parts = [np.asarray(b).reshape(2, -1) for b in raw]
         counts[i0:i0 + len(parts)] = [p.shape[1] for p in parts]
         blocks.append(

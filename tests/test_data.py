@@ -39,6 +39,29 @@ def test_h5_roundtrip(tmp_path):
         np.testing.assert_array_equal(loaded.edge_index(i), b)
 
 
+def test_h5_max_frames_not_chunk_multiple(tmp_path):
+    """max_frames below the file size (and not a read-chunk multiple) must
+    truncate cleanly — the chunked edge reader once read past ``n`` and
+    crashed assigning into the (n,) counts array."""
+    from molecular_dynamics_neural_operator_tpu.data import h5 as h5mod
+
+    path = tmp_path / "traj.h5"
+    traj = write_synthetic_h5(path, num_frames=32, num_residues=10, seed=4)
+    old_chunk = h5mod._EDGE_CHUNK
+    h5mod._EDGE_CHUNK = 12  # force a partial final chunk at n=30
+    try:
+        loaded = load_trajectory(path, max_frames=30)
+    finally:
+        h5mod._EDGE_CHUNK = old_chunk
+    assert loaded.num_frames == 30
+    assert len(loaded.edge_offsets) == 30 + 1
+    np.testing.assert_allclose(loaded.positions, traj.positions[:30], rtol=1e-6)
+    for i in range(30):
+        np.testing.assert_array_equal(
+            loaded.edge_index(i), traj.edge_indices[i]
+        )
+
+
 def test_h5_directory_mode(tmp_path):
     t1 = write_synthetic_h5(tmp_path / "a.h5", num_frames=16, num_residues=10, seed=1)
     t2 = write_synthetic_h5(tmp_path / "b.h5", num_frames=8, num_residues=10, seed=2)
