@@ -36,6 +36,13 @@ def main(argv=None):
     p.add_argument("--num_movie_frames", type=int, default=20)
     p.add_argument("--train_log", type=Path, default=None)
     p.add_argument("--predict_delta", action="store_true")
+    p.add_argument(
+        "--run_path", type=Path, default=None,
+        help="training run directory: the model config is read from its "
+        "config.json (so analysis flags cannot drift from the trained "
+        "shapes), --checkpoint defaults to its best.npz and --train_log "
+        "to its train.log",
+    )
     args = p.parse_args(argv)
 
     import jax
@@ -60,9 +67,25 @@ def main(argv=None):
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
 
-    cfg = ModelConfig(width=args.width, ker_width=args.kernel_width,
-                      depth=args.depth, window_size=args.window_size,
-                      predict_delta=args.predict_delta)
+    if args.run_path is not None:
+        from molecular_dynamics_neural_operator_tpu.configs import (
+            experiment_from_json,
+        )
+
+        cfg = experiment_from_json(
+            (args.run_path / "config.json").read_text()
+        ).model
+        if args.checkpoint is None and (args.run_path / "best.npz").exists():
+            args.checkpoint = args.run_path / "best.npz"
+        if args.train_log is None and (args.run_path / "train.log").exists():
+            args.train_log = args.run_path / "train.log"
+        print(f"config from {args.run_path / 'config.json'}: width="
+              f"{cfg.width} ker={cfg.ker_width} depth={cfg.depth} "
+              f"predict_delta={cfg.predict_delta}")
+    else:
+        cfg = ModelConfig(width=args.width, ker_width=args.kernel_width,
+                          depth=args.depth, window_size=args.window_size,
+                          predict_delta=args.predict_delta)
     traj = load_trajectory(args.data_path)
 
     if args.checkpoint:

@@ -247,3 +247,41 @@ def test_train_cli_reference_loader_flags(h5, tmp_path):
         "--persistent_workers", "True", "--non_blocking", "True",
     ])
     assert (run / "best.npz").exists()
+
+
+def test_bba_analysis_run_path_mode(h5, tmp_path):
+    """examples/bba_analysis.py --run_path reads the trained run's
+    config.json (shapes cannot drift from the checkpoint), defaults the
+    checkpoint to best.npz and the loss log to train.log, and writes the
+    notebook-parity artifacts (cells 19, 24-27, 35-38)."""
+    import importlib.util
+
+    from molecular_dynamics_neural_operator_tpu.cli import train as cli_train
+
+    run = tmp_path / "runa"
+    cli_train.main(_common(h5, run) + [
+        "--width", "8", "--kernel_width", "16", "--depth", "1",
+        "--predict_delta",
+    ])
+    # the CLI logs epochs to stdout; give the analysis a log file to parse
+    (run / "train.log").write_text(
+        "Epoch: 0\tTime: 1.0\ttrain_loss: 0.5\tvalid_loss: 0.6\n"
+        "Epoch: 1\tTime: 1.0\ttrain_loss: 0.3\tvalid_loss: 0.4\n"
+    )
+
+    spec = importlib.util.spec_from_file_location(
+        "bba_analysis",
+        Path(__file__).parent.parent / "examples" / "bba_analysis.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = tmp_path / "analysis"
+    mod.main([
+        "--data_path", str(h5), "--run_path", str(run),
+        "--out", str(out), "--num_steps", "6", "--num_movie_frames", "3",
+    ])
+    summary = json.loads((out / "summary.json").read_text())
+    assert summary["steps"] == 6 and summary["finite_steps"] >= 1
+    rows = json.loads((out / "loss_table.json").read_text())
+    assert [r["epoch"] for r in rows] == [0, 1]
+    assert (out / "per_step_mse.npy").exists()
