@@ -49,16 +49,14 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from molecular_dynamics_neural_operator_tpu.configs import (
-        ModelConfig,
-        TrainConfig,
-    )
+    from molecular_dynamics_neural_operator_tpu.configs import ModelConfig
     from molecular_dynamics_neural_operator_tpu.data import load_trajectory
     from molecular_dynamics_neural_operator_tpu.geometry import contact_map
     from molecular_dynamics_neural_operator_tpu.models import gkn_init
     from molecular_dynamics_neural_operator_tpu.rollout import rollout_with_mse
-    from molecular_dynamics_neural_operator_tpu.train import create_train_state
-    from molecular_dynamics_neural_operator_tpu.utils import restore_checkpoint
+    from molecular_dynamics_neural_operator_tpu.utils.checkpoint import (
+        restore_subtree,
+    )
     from molecular_dynamics_neural_operator_tpu.utils.metrics import parse_loss_log
     from molecular_dynamics_neural_operator_tpu.utils.movie import (
         render_propagation_movie,
@@ -89,10 +87,13 @@ def main(argv=None):
     traj = load_trajectory(args.data_path)
 
     if args.checkpoint:
-        state, _, _ = create_train_state(jax.random.PRNGKey(0), cfg,
-                                         TrainConfig())
-        state, meta = restore_checkpoint(args.checkpoint, state)
-        params = state.params
+        # Params-only restore: a full-TrainState restore would need the
+        # exact optimizer chain the run used (grad clipping,
+        # apply_if_finite, ...) and crash on any curriculum/recipe-trained
+        # checkpoint. Analysis needs only the weights.
+        params, meta = restore_subtree(
+            args.checkpoint, gkn_init(jax.random.PRNGKey(0), cfg), ".params"
+        )
         print(f"loaded checkpoint epoch={meta.get('epoch')}")
     else:
         params = gkn_init(jax.random.PRNGKey(0), cfg)

@@ -289,7 +289,7 @@ def _main_fno(args, data_cfg, train_cfg):
         print(f"FNO data parallelism: batch sharded over "
               f"{mesh.shape['data']} devices")
     logger = MetricLogger(run_dir, use_wandb=train_cfg.log_wandb)
-    ckpt = BestCheckpointer(run_dir)
+    ckpt = BestCheckpointer(run_dir, resume=args.resume is not None)
     print(f"FNO training: {len(ds)} windows, R={traj.num_residues}")
 
     for epoch in range(train_cfg.epochs):
@@ -479,7 +479,7 @@ def main(argv=None):
 
     logger = MetricLogger(run_dir, use_wandb=train_cfg.log_wandb,
                           config=vars(args))
-    ckpt = BestCheckpointer(run_dir)
+    ckpt = BestCheckpointer(run_dir, resume=args.resume is not None)
     starting_points = select_starting_points(
         len(va_idx), model_cfg.window_size
     )

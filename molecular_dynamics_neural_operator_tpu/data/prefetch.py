@@ -30,7 +30,10 @@ def prefetch_to_device(
     Exceptions in the producer thread re-raise at the consuming site.
     """
     put = put or jax.device_put
-    q: "queue.Queue" = queue.Queue(maxsize=size)
+    # queue.Queue(maxsize=0) means UNBOUNDED in Python — a user passing
+    # --prefetch_factor 0 to "disable" prefetching would instead stage the
+    # whole epoch onto the device. Floor at 1 (minimal lookahead).
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, size))
 
     def producer():
         try:

@@ -93,6 +93,38 @@ class WindowDataset:
                     f"stored edge count {self._max_stored} exceeds "
                     f"max_edges {max_edges}"
                 )
+            if edge_layout == "blocked":
+                # Validate the binding per-node constraint up front: a
+                # single high-degree frame would otherwise abort hours
+                # into an epoch from inside the prefetch producer. One
+                # chunked bincount pass over the packed edges, O(total).
+                max_deg = self._max_stored_in_degree()
+                if max_deg > self.max_degree:
+                    raise ValueError(
+                        f"stored max in-degree {max_deg} exceeds the "
+                        f"blocked layout's max_degree {self.max_degree} "
+                        f"(= max_edges {max_edges} / num_residues "
+                        f"{traj.num_residues}); raise max_edges to at "
+                        f"least {max_deg * traj.num_residues}"
+                    )
+
+    def _max_stored_in_degree(self, chunk: int = 131072) -> int:
+        """Max per-(frame, target-node) in-degree over all stored edge
+        lists, computed in bounded-memory chunks of frames."""
+        r = self.num_residues
+        nf = len(self._offsets) - 1
+        m = 0
+        for i0 in range(0, nf, chunk):
+            i1 = min(i0 + chunk, nf)
+            s, e = self._offsets[i0], self._offsets[i1]
+            if e == s:
+                continue
+            dst = self._edges_flat[1, s:e].astype(np.int64)
+            counts = np.diff(self._offsets[i0:i1 + 1])
+            owner = np.repeat(np.arange(i1 - i0, dtype=np.int64), counts)
+            deg = np.bincount(owner * r + dst, minlength=(i1 - i0) * r)
+            m = max(m, int(deg.max()))
+        return m
 
     def __len__(self) -> int:
         return self.traj.num_frames - self.window_size - self.horizon + 1
@@ -141,24 +173,13 @@ class WindowDataset:
         )
         return (d2 < self.threshold**2).astype(np.float32)
 
-    def _sparse_edges_blocked(self, idx: np.ndarray):
-        """(B, 2, E) + mask in the cell-list block layout: each target
-        node n owns slots [n*max_degree, (n+1)*max_degree); its incoming
-        edges fill them front-to-back. Fully vectorized (one stable
-        argsort over the batch's edges)."""
-        b = len(idx)
+    def _blocked_pack(self, owner, src, dst, b: int):
+        """Pack batch COO (owner, src, dst) into the cell-list block
+        layout: each target node n owns slots [n*max_degree,
+        (n+1)*max_degree); its incoming edges fill them front-to-back.
+        Fully vectorized (one stable argsort over the batch's edges)."""
         r = self.num_residues
         max_deg = self.max_degree
-        starts = self._offsets[idx]
-        ends = self._offsets[idx + 1]
-        counts = (ends - starts).astype(np.int64)
-        edge_slots = np.concatenate(
-            [np.arange(s, e) for s, e in zip(starts, ends)]
-        ) if b else np.zeros(0, np.int64)
-        owner = np.repeat(np.arange(b), counts)
-        src = self._edges_flat[0, edge_slots].astype(np.int64)
-        dst = self._edges_flat[1, edge_slots].astype(np.int64)
-
         # Rank of each edge within its (example, target-node) group.
         key = owner * r + dst
         order = np.argsort(key, kind="stable")
@@ -184,9 +205,31 @@ class WindowDataset:
         mask[ow, slot] = 1.0
         return edges, mask
 
+    def _sparse_edges_blocked(self, idx: np.ndarray):
+        """(B, 2, E) + mask in the block layout, from the stored COO lists
+        or (``use_stored_contact_maps=False``) from adjacency recomputed
+        off the coordinates — BOTH paths emit the blocked layout, since a
+        model configured with scatter_mode='blocked' reduces by slot
+        position and would silently mis-aggregate CSR-packed edges."""
+        b = len(idx)
+        if not self.use_stored_contact_maps:
+            ow, src, dst = np.nonzero(self._dense_adj(idx))
+            return self._blocked_pack(ow, src.astype(np.int64),
+                                      dst.astype(np.int64), b)
+        starts = self._offsets[idx]
+        ends = self._offsets[idx + 1]
+        counts = (ends - starts).astype(np.int64)
+        edge_slots = np.concatenate(
+            [np.arange(s, e) for s, e in zip(starts, ends)]
+        ) if b else np.zeros(0, np.int64)
+        owner = np.repeat(np.arange(b), counts)
+        src = self._edges_flat[0, edge_slots].astype(np.int64)
+        dst = self._edges_flat[1, edge_slots].astype(np.int64)
+        return self._blocked_pack(owner, src, dst, b)
+
     def _sparse_edges(self, idx: np.ndarray):
         """Padded edge lists (B, 2, E) + mask (B, E) from stored COO."""
-        if self.edge_layout == "blocked" and self.use_stored_contact_maps:
+        if self.edge_layout == "blocked":
             return self._sparse_edges_blocked(idx)
         b = len(idx)
         e_max = self.max_edges

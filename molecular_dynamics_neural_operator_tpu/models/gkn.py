@@ -283,13 +283,21 @@ def gkn_apply(
     cfg: ModelConfig,
     batch: GKNBatch,
     return_latent: bool = False,
+    scatter_hint: str | None = None,
 ):
     """Batched forward via vmap over the batch axis of window and graph.
 
     With ``train_conv_impl="pallas"`` (sparse + tied, TPU) the conv stack
     instead runs as one batched Pallas kernel with the per-edge kernel
     tensor VMEM-resident across all 2*depth layers — forward and backward
-    (ops/pallas/train_conv.py)."""
+    (ops/pallas/train_conv.py).
+
+    ``scatter_hint`` overrides ``cfg.scatter_mode`` for the vmapped
+    sparse path — callers whose graphs were rebuilt on device (curriculum
+    free steps) pass ``rollout.scan.rebuilt_scatter_hint`` so a
+    "blocked" dataset layout setting never mis-reduces CSR-packed
+    rebuilds. The Pallas batched path is layout-agnostic (it builds
+    incidence from the actual edge indices) and ignores it."""
     if (cfg.train_conv_impl == "pallas"
             and isinstance(batch.graph, SparseGraph)
             and cfg.tie_edge_kernel and cfg.depth > 0
@@ -299,7 +307,8 @@ def gkn_apply(
             and batch.aa.shape[0] <= 512):
         return _gkn_apply_pallas_batched(params, cfg, batch, return_latent)
     fn = lambda window, graph: gkn_apply_single(
-        params, cfg, batch.aa, window, graph, return_latent
+        params, cfg, batch.aa, window, graph, return_latent,
+        scatter_hint=scatter_hint,
     )
     return jax.vmap(fn)(batch.window, batch.graph)
 

@@ -36,6 +36,29 @@ from molecular_dynamics_neural_operator_tpu.models import (
 )
 
 
+def rebuilt_scatter_hint(cfg: ModelConfig, num_nodes: int) -> str | None:
+    """Aggregation choice for graphs REBUILT on device inside a rollout or
+    curriculum step. Rebuilt graphs are never in the dataset's edge
+    layout: ``cell_list_edges`` emits the block layout (slot
+    n*max_degree+d targets node n), ``padded_edges_device`` emits
+    front-packed CSR. ``cfg.scatter_mode`` describes dataset-PROVIDED
+    graphs (``--edge_layout blocked``) and must not leak onto rebuilds —
+    a "blocked" setting applied to a CSR-packed rebuild sums arbitrary
+    consecutive edge slots into each node, silently corrupting every
+    free-rollout step. Returns None in dense mode (no scatter there)."""
+    if cfg.graph_mode != "sparse":
+        return None
+    from molecular_dynamics_neural_operator_tpu.ops.edge_conv import (
+        SCATTER_ONEHOT_MAX_NODES,
+    )
+
+    if (cfg.neighbor_impl == "cell_list"
+            and num_nodes > SCATTER_ONEHOT_MAX_NODES):
+        return "blocked"
+    return ("onehot" if num_nodes <= SCATTER_ONEHOT_MAX_NODES
+            else "segment")
+
+
 def _build_graph(cfg: ModelConfig, frame, threshold: float):
     """Returns (graph, overflow): overflow is True when the rebuild lost
     edges to a static capacity (max_edges for dense_rank; cell capacity or
@@ -72,17 +95,9 @@ def _step(params, cfg: ModelConfig, aa, window, threshold: float,
     # cell_list_edges emits the block layout (slot n*max_degree + d
     # targets node n), so large-system aggregation can skip the scatter
     # entirely (edge_conv.py "blocked"); small systems keep the one-hot
-    # MXU path.
-    from molecular_dynamics_neural_operator_tpu.ops.edge_conv import (
-        SCATTER_ONEHOT_MAX_NODES,
-    )
-
-    hint = (
-        "blocked"
-        if (cfg.graph_mode == "sparse" and cfg.neighbor_impl == "cell_list"
-            and aa.shape[0] > SCATTER_ONEHOT_MAX_NODES)
-        else None
-    )
+    # MXU path. The hint is always explicit here: the rebuilt graph's
+    # layout is decided by this step, not by cfg.scatter_mode.
+    hint = rebuilt_scatter_hint(cfg, aa.shape[0])
     out = gkn_apply_single(params, cfg, aa, window, graph,
                            scatter_hint=hint)  # (R, 3)
     if clip is not None:

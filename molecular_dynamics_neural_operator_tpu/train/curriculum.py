@@ -116,6 +116,7 @@ def curriculum_loss_batched(
     )
     from molecular_dynamics_neural_operator_tpu.rollout.scan import (
         _build_graph,
+        rebuilt_scatter_hint,
     )
 
     b, k = y_seq.shape[0], y_seq.shape[1]
@@ -153,6 +154,7 @@ def curriculum_loss_batched(
                 params, cfg,
                 GKNBatch(aa=gbatch.aa, window=window, graph=graph,
                          y=y_t),
+                scatter_hint=rebuilt_scatter_hint(cfg, gbatch.aa.shape[0]),
             )
             if coord_clip is not None:
                 out = jnp.clip(out, -coord_clip, coord_clip)

@@ -113,21 +113,30 @@ class BestCheckpointer:
     """Tracks best validation loss and writes ``best.npz`` on improvement
     (reference behavior) plus optional periodic ``last.npz`` for resume."""
 
-    def __init__(self, run_dir, save_last_every: int = 1):
+    def __init__(self, run_dir, save_last_every: int = 1,
+                 resume: bool = False):
         self.run_dir = Path(run_dir)
         self.run_dir.mkdir(parents=True, exist_ok=True)
         self.best_loss = float("inf")
         self.save_last_every = max(1, save_last_every)
-        # On resume, seed best_loss from an existing best.npz so a
-        # worse-than-historic-best epoch after the restart cannot
-        # overwrite the run's true best checkpoint.
-        side = self.run_dir / "best.npz.json"
-        if side.exists():
-            try:
-                meta = json.loads(side.read_text()).get("metadata", {})
-                self.best_loss = float(meta.get("valid_loss", float("inf")))
-            except (ValueError, OSError):
-                pass
+        # With ``resume=True``, seed best_loss from an existing best.npz
+        # so a worse-than-historic-best epoch after the restart cannot
+        # overwrite the run's true best checkpoint. Gated on an explicit
+        # resume signal: a FRESH run reusing a run_dir (e.g. after fixing
+        # a misconfigured first attempt) must treat the stale best.npz as
+        # beatable, or the new run's weights might never be written and
+        # the (overwritten) config.json would silently pair with the old
+        # run's checkpoint.
+        if resume:
+            side = self.run_dir / "best.npz.json"
+            if side.exists():
+                try:
+                    meta = json.loads(side.read_text()).get("metadata", {})
+                    self.best_loss = float(
+                        meta.get("valid_loss", float("inf"))
+                    )
+                except (ValueError, OSError):
+                    pass
 
     def update(self, epoch: int, valid_loss: float, state) -> bool:
         """Returns True if this epoch was the new best."""

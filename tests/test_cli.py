@@ -259,9 +259,12 @@ def test_bba_analysis_run_path_mode(h5, tmp_path):
     from molecular_dynamics_neural_operator_tpu.cli import train as cli_train
 
     run = tmp_path / "runa"
+    # curriculum recipe: the optimizer chain gains clip_by_global_norm +
+    # apply_if_finite, so a full-TrainState restore with a default-config
+    # template would crash — analysis must restore params only.
     cli_train.main(_common(h5, run) + [
         "--width", "8", "--kernel_width", "16", "--depth", "1",
-        "--predict_delta",
+        "--predict_delta", "--rollout_steps", "2",
     ])
     # the CLI logs epochs to stdout; give the analysis a log file to parse
     (run / "train.log").write_text(

@@ -126,3 +126,48 @@ def test_batched_curriculum_matches_per_example():
                                rtol=1e-5)
     np.testing.assert_allclose(float(mse_b), float(jnp.mean(mses)),
                                rtol=1e-5)
+
+
+def test_batched_curriculum_blocked_dataset_layout():
+    """A blocked-layout dataset + scatter_mode='blocked' curriculum must
+    equal the CSR + auto curriculum: step 1 consumes the stored (blocked)
+    graph under cfg.scatter_mode, while the free steps' device rebuilds
+    are CSR-packed and must use the explicit rebuilt-graph hint (the
+    config's 'blocked' leaking onto them silently mis-aggregated)."""
+    import dataclasses
+
+    from molecular_dynamics_neural_operator_tpu.models import gkn_init
+    from molecular_dynamics_neural_operator_tpu.train.curriculum import (
+        curriculum_loss_batched,
+    )
+    from molecular_dynamics_neural_operator_tpu.train.loop import (
+        featurize_batch,
+    )
+
+    r = 10
+    cfg_csr = ModelConfig(width=8, ker_width=16, depth=1, window_size=4,
+                          num_residues=r, max_edges=13 * r,
+                          graph_mode="sparse", compute_dtype="float32",
+                          predict_delta=True)
+    cfg_blk = dataclasses.replace(cfg_csr, scatter_mode="blocked")
+    params = gkn_init(jax.random.PRNGKey(0), cfg_csr)
+    traj = synthetic_trajectory(num_frames=24, num_residues=r, seed=6)
+    ds_csr = WindowDataset(traj, window_size=4, graph_mode="sparse",
+                           max_edges=13 * r)
+    ds_blk = WindowDataset(traj, window_size=4, graph_mode="sparse",
+                           max_edges=13 * r, edge_layout="blocked")
+    losses = {}
+    for name, cfg, ds in (("csr", cfg_csr, ds_csr),
+                          ("blk", cfg_blk, ds_blk)):
+        batch = {k: jnp.asarray(v) for k, v in
+                 ds.get_batch(np.arange(4), rollout_horizon=3).items()}
+        gbatch = featurize_batch(cfg, batch)
+        loss, mse = jax.jit(
+            lambda p, g=gbatch, c=cfg, y=batch["y_seq"]:
+            curriculum_loss_batched(p, c, g, y, coord_clip=50.0)
+        )(params)
+        losses[name] = (float(loss), float(mse))
+    np.testing.assert_allclose(losses["blk"][0], losses["csr"][0],
+                               rtol=1e-5)
+    np.testing.assert_allclose(losses["blk"][1], losses["csr"][1],
+                               rtol=1e-5)

@@ -279,8 +279,44 @@ def test_blocked_edge_layout_roundtrip(tiny_traj):
 def test_blocked_layout_degree_overflow_raises(tiny_traj):
     r = tiny_traj.num_residues
     # capacity 7*r=84 passes the total-edge check (max stored 78) but
-    # max_degree 7 < frame 0's real in-degree 8 -> batch-time error
-    ds = WindowDataset(tiny_traj, window_size=4, graph_mode="sparse",
-                       max_edges=7 * r, edge_layout="blocked")
+    # max_degree 7 < the trajectory's real max in-degree 8 -> detected at
+    # CONSTRUCTION (one chunked bincount pass), not hours into an epoch
+    # from inside the prefetch producer.
     with pytest.raises(ValueError, match="in-degree"):
-        ds.get_batch([0])
+        WindowDataset(tiny_traj, window_size=4, graph_mode="sparse",
+                      max_edges=7 * r, edge_layout="blocked")
+
+
+def test_blocked_layout_recomputed_maps(tiny_traj):
+    """use_stored_contact_maps=False + blocked layout: the recompute path
+    must ALSO emit the block layout (it used to fall back to CSR packing
+    while the model reduced by slot position — silently wrong sums)."""
+    r = tiny_traj.num_residues
+    e_max = 32 * r
+    max_deg = 32
+    blk = WindowDataset(tiny_traj, window_size=4, graph_mode="sparse",
+                        max_edges=e_max, edge_layout="blocked",
+                        use_stored_contact_maps=False)
+    csr = WindowDataset(tiny_traj, window_size=4, graph_mode="sparse",
+                        max_edges=e_max, use_stored_contact_maps=False)
+    idx = [0, 7]
+    b = blk.get_batch(idx)
+    a = csr.get_batch(idx)
+    for i in range(len(idx)):
+        on = b["mask"][i] > 0
+        slots = np.flatnonzero(on)
+        # blocked invariant: every live slot targets its block's node
+        np.testing.assert_array_equal(b["edges"][i, 1, slots],
+                                      slots // max_deg)
+        # same edge SET as the CSR recompute
+        na = int(a["mask"][i].sum())
+        ea = {tuple(e) for e in a["edges"][i, :, :na].T}
+        eb = {tuple(e) for e in b["edges"][i][:, on].T}
+        assert ea == eb
+    # batch-time in-degree guard still covers the recompute path (no
+    # init-time validation possible: degrees depend on the threshold)
+    tight = WindowDataset(tiny_traj, window_size=4, graph_mode="sparse",
+                          max_edges=7 * r, edge_layout="blocked",
+                          use_stored_contact_maps=False)
+    with pytest.raises(ValueError, match="in-degree"):
+        tight.get_batch([0])

@@ -124,3 +124,34 @@ def test_edge_overflow_diagnostic(setup):
     cfg_ok = dataclasses.replace(cfg, graph_mode="sparse", max_edges=128)
     _, _, diags_ok = rollout_scan(params, cfg_ok, aa, w0, 2)
     assert not bool(diags_ok["edge_overflow"])
+
+
+def test_scatter_mode_blocked_does_not_leak_into_rebuilds(setup):
+    """cfg.scatter_mode='blocked' describes the DATASET's edge layout
+    (--edge_layout blocked); rollout steps rebuild graphs on device in
+    front-packed CSR order (padded_edges_device), which the blocked
+    reduction would silently mis-aggregate. The rebuilt-graph hint must
+    override the config: identical trajectories either way."""
+    cfg, params, traj, aa, w0 = setup
+    cfg_sp = dataclasses.replace(cfg, graph_mode="sparse", max_edges=130)
+    # max_edges 130 = 13 * R(10): divisible, so the blocked layout's
+    # divisibility guard would NOT save us — this is the silent case.
+    cfg_blk = dataclasses.replace(cfg_sp, scatter_mode="blocked")
+    ref, *_ = rollout_scan(params, cfg_sp, aa, w0, 5)
+    got, *_ = rollout_scan(params, cfg_blk, aa, w0, 5)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_rebuilt_scatter_hint_choices():
+    from molecular_dynamics_neural_operator_tpu.rollout.scan import (
+        rebuilt_scatter_hint,
+    )
+
+    sp = ModelConfig(graph_mode="sparse", scatter_mode="blocked")
+    assert rebuilt_scatter_hint(sp, 10) == "onehot"
+    assert rebuilt_scatter_hint(sp, 10_000) == "segment"
+    cl = dataclasses.replace(sp, neighbor_impl="cell_list")
+    assert rebuilt_scatter_hint(cl, 10_000) == "blocked"
+    assert rebuilt_scatter_hint(cl, 10) == "onehot"
+    dn = ModelConfig(graph_mode="dense")
+    assert rebuilt_scatter_hint(dn, 10) is None

@@ -80,12 +80,26 @@ def test_best_checkpointer_survives_resume(tmp_path):
     state = _state()
     ck = BestCheckpointer(tmp_path)
     ck.update(0, 0.5, state)
-    ck2 = BestCheckpointer(tmp_path)  # simulated restart
+    ck2 = BestCheckpointer(tmp_path, resume=True)  # simulated restart
     assert ck2.best_loss == 0.5
     assert ck2.update(1, 0.9, state) is False
     _, meta = restore_checkpoint(tmp_path / "best.npz", state)
     assert meta["epoch"] == 0 and meta["valid_loss"] == 0.5
     assert ck2.update(2, 0.4, state) is True
+
+
+def test_best_checkpointer_fresh_run_ignores_stale_best(tmp_path):
+    # WITHOUT the resume signal, a new run reusing a run_dir must treat a
+    # stale best.npz as beatable — otherwise its own weights might never
+    # be written and the new config.json would pair with the old run's
+    # checkpoint.
+    state = _state()
+    BestCheckpointer(tmp_path).update(0, 0.01, state)
+    ck = BestCheckpointer(tmp_path)  # fresh run, same dir, no resume
+    assert ck.best_loss == float("inf")
+    assert ck.update(0, 0.5, state) is True
+    _, meta = restore_checkpoint(tmp_path / "best.npz", state)
+    assert meta["valid_loss"] == 0.5
 
 
 def test_epoch_line_roundtrip():
