@@ -28,6 +28,8 @@ def main():
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--max_edges", type=int, default=224)
     p.add_argument("--k", type=int, default=4)
+    p.add_argument("--fno", action="store_true",
+                   help="also measure the FNO family (rollout + training)")
     args = p.parse_args()
 
     import jax
@@ -155,6 +157,68 @@ def main():
     results[f"train_step_curriculum_k{args.k}"]["batch"] = bk
     results[f"train_step_curriculum_k{args.k}"]["ms_per_step"] = round(
         1e3 / k_rate, 2)
+
+    # --- FNO family (opt-in: adds ~2 compiles over the tunnel)
+    if args.fno:
+        from molecular_dynamics_neural_operator_tpu.configs import FNOConfig
+        from molecular_dynamics_neural_operator_tpu.models.fno import (
+            FNOBatch,
+            distance_matrix_channels,
+            fno_init,
+            fno_rollout_scan,
+            make_fno_train_step,
+        )
+        from molecular_dynamics_neural_operator_tpu.train.optim import (
+            make_optimizer,
+        )
+        from molecular_dynamics_neural_operator_tpu.train.state import (
+            TrainState,
+        )
+
+        fcfg = FNOConfig()
+        fparams = fno_init(jax.random.PRNGKey(0), fcfg)
+        ch0 = distance_matrix_channels(jnp.asarray(traj.positions[:10]))
+
+        def froll_n(n):
+            return jax.jit(lambda p, c: fno_rollout_scan(p, fcfg, c, n)[0])
+
+        ff1 = flops_of(froll_n(100), fparams, ch0)
+        ff2 = flops_of(froll_n(200), fparams, ch0)
+        assert ff2 == ff1, "scan cost_analysis now scales with trip count"
+
+        def run_froll(n):
+            return min_time(froll_n(n), fparams, ch0)
+
+        f_rate = slope_rate(run_froll, 1000, 5000)
+        report("fno_rollout_step", ff1, f_rate)
+
+        fb_n = args.batch
+        ftx, _ = make_optimizer(lr=1e-3, weight_decay=0.0,
+                                scheduler_step=50, scheduler_gamma=0.8,
+                                steps_per_epoch=1)
+        fstate = TrainState(fparams, ftx.init(fparams),
+                            jnp.zeros((), jnp.int32), jax.random.PRNGKey(1))
+        x = jnp.stack([distance_matrix_channels(
+            jnp.asarray(traj.positions[i:i + 10])) for i in range(fb_n)])
+        y = jnp.stack([distance_matrix_channels(
+            jnp.asarray(traj.positions[i + 10:i + 11]))
+            for i in range(fb_n)])
+        fbatch = FNOBatch(x=x, y=y)
+        fstep = make_fno_train_step(fcfg, ftx)
+        ff_step = flops_of(fstep, fstate, fbatch)
+
+        def run_ftrain(n):
+            def body(s, _):
+                s, m = fstep(s, fbatch)
+                return s, m["rel_l2"]
+            scan = jax.jit(
+                lambda s: jax.lax.scan(body, s, None, length=n)[1])
+            return min_time(scan, fstate)
+
+        ft_rate = slope_rate(run_ftrain, 8, 40)
+        report("fno_train_step", ff_step / fb_n, ft_rate * fb_n)
+        results["fno_train_step"]["batch"] = fb_n
+        results["fno_train_step"]["ms_per_step"] = round(1e3 / ft_rate, 2)
 
     print(json.dumps(results, indent=2))
     out = Path(__file__).parent / "mfu_results.json"
