@@ -158,6 +158,13 @@ def main():
     # dominates (runs ONCE per step — conv1/conv2 share one DenseNet,
     # graph_kernel.py:271-273): E x (6*kw + kw*kw + kw*w^2) MACs, plus
     # 2*depth conv matvecs (E*w^2) and node linears (R terms, negligible).
+    # Hand model kept deliberately: the Pallas kernel's program is opaque
+    # to compiled.cost_analysis(), so this is the only per-step figure
+    # available for the persistent path. Validated against tools/mfu.py's
+    # XLA cost analysis of the equivalent scan program: 2.38 here vs 2.41
+    # GFLOP (cost_analysis adds the contact-rebuild ops) — if the model
+    # shape changes (depth/ker_width/electrostatics), re-run tools/mfu.py
+    # and re-check the two agree within a few percent.
     w, kw, E, R, d = (cfg.width, cfg.ker_width, cfg.max_edges,
                       cfg.num_residues, cfg.depth)
     macs = (E * (6 * kw + kw * kw + kw * w * w)      # edge MLP

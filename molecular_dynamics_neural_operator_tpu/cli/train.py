@@ -262,6 +262,15 @@ def _main_fno(args, data_cfg, train_cfg):
     params = fno_init(jax.random.PRNGKey(train_cfg.seed), cfg)
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32),
                        jax.random.PRNGKey(train_cfg.seed))
+    start_epoch = 0
+    if args.resume is not None:
+        from molecular_dynamics_neural_operator_tpu.utils import (
+            restore_checkpoint,
+        )
+
+        state, meta = restore_checkpoint(args.resume, state)
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        print(f"Resumed from {args.resume} at epoch {start_epoch}")
     if train_cfg.rollout_steps > 0:
         from molecular_dynamics_neural_operator_tpu.models.fno import (
             make_fno_curriculum_train_step,
@@ -292,7 +301,7 @@ def _main_fno(args, data_cfg, train_cfg):
     ckpt = BestCheckpointer(run_dir, resume=args.resume is not None)
     print(f"FNO training: {len(ds)} windows, R={traj.num_residues}")
 
-    for epoch in range(train_cfg.epochs):
+    for epoch in range(start_epoch, train_cfg.epochs):
         t0 = _time.time()
         tr_loss = n = 0
         for batch in batch_iterator(ds, tr_idx, train_cfg.batch_size,

@@ -83,14 +83,23 @@ def restore_subtree(path, like, prefix: str) -> Tuple[Any, dict]:
     """
     path = Path(path)
     data = np.load(path if path.suffix == ".npz" else path.with_suffix(".npz"))
-    side = json.loads(path.with_suffix(path.suffix + ".json").read_text())
+    side_path = path.with_suffix(path.suffix + ".json")
+    side = json.loads(side_path.read_text()) if side_path.exists() else {}
     flat_like = jax.tree_util.tree_flatten_with_path(like)
     leaves = []
     for p, leaf in flat_like[0]:
-        key = "/".join(str(getattr(x, "key", getattr(x, "idx", x))) for x in p)
-        key = f"{prefix}/{key}" if key else prefix
+        bare = "/".join(str(getattr(x, "key", getattr(x, "idx", x)))
+                        for x in p)
+        key = f"{prefix}/{bare}" if bare else prefix
         if key not in data:
-            raise KeyError(f"checkpoint missing leaf {key}")
+            # params-only checkpoints (e.g. tools/bench_ckpt.npz, written
+            # by jnp.savez of the bare params pytree) store unprefixed
+            # keys; accept both formats so every consumer reads every
+            # checkpoint family.
+            if bare and bare in data:
+                key = bare
+            else:
+                raise KeyError(f"checkpoint missing leaf {key}")
         arr = data[key]
         if hasattr(leaf, "shape") and tuple(arr.shape) != tuple(leaf.shape):
             # name the mismatched leaf: an opaque dot-shape error deep in

@@ -288,3 +288,23 @@ def test_bba_analysis_run_path_mode(h5, tmp_path):
     rows = json.loads((out / "loss_table.json").read_text())
     assert [r["epoch"] for r in rows] == [0, 1]
     assert (out / "per_step_mse.npy").exists()
+
+
+def test_train_cli_fno_resume(h5, tmp_path):
+    """--operator fno --resume restores state and continues the epoch count
+    (it used to silently retrain from scratch while BestCheckpointer kept
+    guarding the stale best.npz)."""
+    from molecular_dynamics_neural_operator_tpu.cli import train as cli_train
+
+    run = tmp_path / "runfr"
+    fno = ["--operator", "fno", "--fno_width", "8", "--fno_modes", "4",
+           "--fno_depth", "1"]
+    cli_train.main(_common(h5, run) + fno)
+    rows1 = (run / "metrics.jsonl").read_text().splitlines()
+    args = _common(h5, run) + fno + ["--resume", str(run / "last.npz")]
+    args[args.index("--epochs") + 1] = "2"
+    cli_train.main(args)
+    rows2 = [json.loads(l) for l in
+             (run / "metrics.jsonl").read_text().splitlines()]
+    assert len(rows2) == len(rows1) + 1
+    assert rows2[-1]["epoch"] == 1  # continued, not restarted at 0

@@ -279,3 +279,30 @@ def test_data_parallel_put_guard():
     assert mesh.devices.size == n
     with pytest.raises(ValueError, match="divisible"):
         data_parallel_put(n * 2 + 1)
+
+
+def test_restore_subtree_bare_params_npz(tmp_path):
+    """Checkpoints that store the bare params pytree (no '.params/' key
+    prefix — e.g. tools/bench_ckpt.npz, written via np.savez of the flat
+    params dict) load through the same restore_subtree call."""
+    import numpy as np
+
+    from molecular_dynamics_neural_operator_tpu.models import gkn_init
+    from molecular_dynamics_neural_operator_tpu.utils.checkpoint import (
+        restore_subtree,
+    )
+
+    cfg = ModelConfig(width=8, ker_width=16, depth=1, window_size=3,
+                      num_residues=6)
+    params = gkn_init(jax.random.PRNGKey(0), cfg)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    path = tmp_path / "bare.npz"
+    np.savez(path, **{
+        "/".join(str(k.key) for k in p): np.asarray(v) for p, v in flat
+    })  # no sidecar .json either
+    template = gkn_init(jax.random.PRNGKey(1), cfg)
+    restored, meta = restore_subtree(path, template, ".params")
+    assert meta == {}
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

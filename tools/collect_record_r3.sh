@@ -21,7 +21,7 @@ cp "$SRC"/analysis/loss_curves.png "$SRC"/analysis/loss_table.json \
 # One representative periodic artifact per family (full set stays in runs/).
 cp "$SRC"/epoch200_gno_movie.gif "$DST"/ 2>/dev/null || \
   cp "$SRC"/epoch180_gno_movie.gif "$DST"/ 2>/dev/null || true
-LAST_PCA=""
-for f in "$SRC"/latent_PCA_RMSD_epoch*.png; do LAST_PCA="$f"; done
+# numeric sort: plain globbing would pick epoch80 over epoch180
+LAST_PCA=$(ls "$SRC"/latent_PCA_RMSD_epoch*.png 2>/dev/null | sort -V | tail -1)
 [ -n "$LAST_PCA" ] && cp "$LAST_PCA" "$DST"/
 ls -la "$DST"
