@@ -36,9 +36,22 @@ from molecular_dynamics_neural_operator_tpu.ops import (
 )
 
 
-def _forward_local(params, cfg: ModelConfig, aa, window, edges, mask,
-                   edge_feats, axis_name: str):
-    """Per-example forward with a LOCAL edge shard; psum over axis_name."""
+def _forward_edge_shard(params, cfg: ModelConfig, aa, window, edges, mask,
+                        edge_feats, axis_name: str,
+                        blocked_offset=None):
+    """Per-example forward with a LOCAL edge shard; psums over
+    ``axis_name``. The ONE shared implementation for both the training
+    step here and the edge-sharded rollout (rollout_edge_sharded.py) —
+    they previously carried two copies that diverged (the rollout copy
+    had the ``predict_delta`` residual, this one had silently lost it).
+
+    ``blocked_offset`` (traced scalar): when the shard is an atom-aligned
+    slice of the cell-list block layout (slot a*max_degree + d targets
+    local atom a; dst indices global, starting at this offset), the
+    edges->nodes reduction runs scatter-free — a dense (n_local, deg, w)
+    sum placed into the global node array by dynamic_update_slice —
+    instead of segment_sum (TPU scatters serialize; see
+    ops/edge_conv.py "blocked")."""
     cd = _compute_dtype(cfg)
     r = aa.shape[0]
     x = _encode_nodes(params, cfg, aa, window)  # (R, w) replicated
@@ -47,38 +60,60 @@ def _forward_local(params, cfg: ModelConfig, aa, window, edges, mask,
     kernels = edge_kernel_matrices(
         params["edge_kernel"], edge_feats, w, compute_dtype=cd
     ).astype(cd)
-    if cfg.tie_edge_kernel:
-        kernels2 = kernels
-    else:
-        kernels2 = edge_kernel_matrices(
-            params["edge_kernel2"], edge_feats, w, compute_dtype=cd
-        ).astype(cd)
+    kernels2 = kernels if cfg.tie_edge_kernel else edge_kernel_matrices(
+        params["edge_kernel2"], edge_feats, w, compute_dtype=cd
+    ).astype(cd)
 
     src, dst = edges[0], edges[1]
-    deg_local = jax.ops.segment_sum(mask, dst, num_segments=r)
-    deg = jax.lax.psum(deg_local, axis_name)
+    if blocked_offset is not None:
+        n_local = mask.shape[0] // cfg.max_degree
+
+        def place(local_block):
+            full = jnp.zeros((r,) + local_block.shape[1:],
+                             local_block.dtype)
+            return jax.lax.dynamic_update_slice(
+                full, local_block,
+                (blocked_offset,) + (0,) * (local_block.ndim - 1),
+            )
+
+        def local_aggregate(m):
+            return place(m.reshape(n_local, cfg.max_degree, -1).sum(1))
+
+        deg = jax.lax.psum(
+            place(mask.reshape(n_local, cfg.max_degree).sum(1)), axis_name
+        )
+    else:
+        def local_aggregate(m):
+            return jax.ops.segment_sum(m, dst, num_segments=r)
+
+        deg = jax.lax.psum(
+            jax.ops.segment_sum(mask, dst, num_segments=r), axis_name
+        )
     inv_deg = 1.0 / jnp.maximum(deg, 1.0)
 
     def layer(x, conv_params, ks):
-        xs = x[src]
         m = jnp.einsum(
-            "ew,ewv->ev", xs.astype(cd), ks,
+            "ew,ewv->ev", x[src].astype(cd), ks,
             preferred_element_type=jnp.float32,
         ) * mask[:, None]
-        agg_local = jax.ops.segment_sum(m, dst, num_segments=r)
-        agg = jax.lax.psum(agg_local, axis_name)  # full aggregation
-        agg = agg * inv_deg[:, None]
-        root = jnp.dot(
-            x.astype(cd), conv_params["root"].astype(cd),
-            preferred_element_type=jnp.float32,
-        )
+        agg = jax.lax.psum(local_aggregate(m), axis_name) * inv_deg[:, None]
+        root = jnp.dot(x.astype(cd), conv_params["root"].astype(cd),
+                       preferred_element_type=jnp.float32)
         return jax.nn.relu(agg + root + conv_params["bias"])
 
     for _ in range(cfg.depth):
         x = layer(x, params["conv1"], kernels)
     for _ in range(cfg.depth):
         x = layer(x, params["conv2"], kernels2)
-    return linear_apply(params["fc2"], x)
+    out = linear_apply(params["fc2"], x)
+    if cfg.predict_delta:
+        # Residual head, exactly as gkn_apply (models/gkn.py:271-275).
+        out = out + window[-1]
+    return out
+
+
+# Training-step call sites use the segment-sum form.
+_forward_local = _forward_edge_shard
 
 
 def make_edge_sharded_forward(cfg: ModelConfig, mesh: Mesh,

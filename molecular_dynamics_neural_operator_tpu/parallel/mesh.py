@@ -40,6 +40,14 @@ def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
         # Auto-fill: all devices on the data axis unless model is given.
         if model > 1 and n % model == 0:
             data = n // model
+        elif model > 1:
+            # An explicit model-parallel request that cannot be honored
+            # must not silently collapse to (n, 1): callers sized for
+            # edge sharding would run unsharded and OOM instead.
+            raise ValueError(
+                f"model axis {model} does not divide the {n} available "
+                f"devices (data={cfg.data}, model={model})"
+            )
         else:
             data, model = n, 1
     grid = devices.reshape(data, model)

@@ -38,87 +38,15 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from molecular_dynamics_neural_operator_tpu.configs import ModelConfig
-from molecular_dynamics_neural_operator_tpu.models.gkn import (
-    _compute_dtype,
-    _encode_nodes,
-)
-from molecular_dynamics_neural_operator_tpu.ops import (
-    edge_kernel_matrices,
-    linear_apply,
-)
 from molecular_dynamics_neural_operator_tpu.rollout.scan import _build_graph
 
 
-def _forward_edge_shard(params, cfg: ModelConfig, aa, window, edges, mask,
-                        edge_feats, axis_name: str,
-                        blocked_offset=None):
-    """Forward with a LOCAL edge shard; psums over ``axis_name``.
-    (Same math as parallel/edge_sharded.py::_forward_local.)
-
-    ``blocked_offset`` (traced scalar): when the shard is an atom-aligned
-    slice of the cell-list block layout (slot a*max_degree + d targets
-    local atom a; dst indices global, starting at this offset), the
-    edges->nodes reduction runs scatter-free — a dense (n_local, deg, w)
-    sum placed into the global node array by dynamic_update_slice —
-    instead of segment_sum (TPU scatters serialize; see
-    ops/edge_conv.py "blocked")."""
-    cd = _compute_dtype(cfg)
-    r = aa.shape[0]
-    x = _encode_nodes(params, cfg, aa, window)
-
-    w = cfg.width
-    kernels = edge_kernel_matrices(
-        params["edge_kernel"], edge_feats, w, compute_dtype=cd
-    ).astype(cd)
-    kernels2 = kernels if cfg.tie_edge_kernel else edge_kernel_matrices(
-        params["edge_kernel2"], edge_feats, w, compute_dtype=cd
-    ).astype(cd)
-
-    src, dst = edges[0], edges[1]
-    if blocked_offset is not None:
-        n_local = mask.shape[0] // cfg.max_degree
-
-        def place(local_block):
-            full = jnp.zeros((r,) + local_block.shape[1:],
-                             local_block.dtype)
-            return jax.lax.dynamic_update_slice(
-                full, local_block,
-                (blocked_offset,) + (0,) * (local_block.ndim - 1),
-            )
-
-        def local_aggregate(m):
-            return place(m.reshape(n_local, cfg.max_degree, -1).sum(1))
-
-        deg = jax.lax.psum(
-            place(mask.reshape(n_local, cfg.max_degree).sum(1)), axis_name
-        )
-    else:
-        def local_aggregate(m):
-            return jax.ops.segment_sum(m, dst, num_segments=r)
-
-        deg = jax.lax.psum(
-            jax.ops.segment_sum(mask, dst, num_segments=r), axis_name
-        )
-    inv_deg = 1.0 / jnp.maximum(deg, 1.0)
-
-    def layer(x, conv_params, ks):
-        m = jnp.einsum(
-            "ew,ewv->ev", x[src].astype(cd), ks,
-            preferred_element_type=jnp.float32,
-        ) * mask[:, None]
-        agg = jax.lax.psum(local_aggregate(m), axis_name) * inv_deg[:, None]
-        root = jnp.dot(x.astype(cd), conv_params["root"].astype(cd),
-                       preferred_element_type=jnp.float32)
-        return jax.nn.relu(agg + root + conv_params["bias"])
-
-    for _ in range(cfg.depth):
-        x = layer(x, params["conv1"], kernels)
-    for _ in range(cfg.depth):
-        x = layer(x, params["conv2"], kernels2)
-    out = linear_apply(params["fc2"], x)
-    if cfg.predict_delta:
-        out = out + window[-1]
-    return out
+# The shared local-edge-shard forward lives in edge_sharded.py: one
+# implementation for the training step and this rollout (two copies
+# previously diverged on the predict_delta residual).
+from molecular_dynamics_neural_operator_tpu.parallel.edge_sharded import (  # noqa: E402
+    _forward_edge_shard,
+)
 
 
 def make_edge_sharded_rollout_fn(
@@ -133,6 +61,13 @@ def make_edge_sharded_rollout_fn(
     with the edge axis of every rebuilt graph sharded over ``model_axis``.
     Returns (coords (num_steps, N, 3), final_window, diags)."""
     n_shards = mesh.shape[model_axis]
+    if cfg.graph_mode != "sparse":
+        # dense mode has no edge axis to shard; the scan body would
+        # dereference graph.edges on a DenseGraph deep inside the trace.
+        raise ValueError(
+            "edge-sharded rollout requires graph_mode='sparse' "
+            f"(got {cfg.graph_mode!r})"
+        )
     if cfg.max_edges % n_shards:
         raise ValueError(
             f"max_edges {cfg.max_edges} must divide by the '{model_axis}' "

@@ -126,6 +126,11 @@ def rollout_scan(
     "contact_maps" -> (num_steps, R, R) contact maps of the predictions;
     "both" -> tuple of the two. Returns (collected, final_window).
     """
+    if graph_frame not in ("last", "first"):
+        # 'last' is the reference rollout semantics (graph_kernel.py:363);
+        # an unvalidated typo would silently select window[0].
+        raise ValueError(f"unknown graph_frame: {graph_frame!r} "
+                         "(expected 'last' or 'first')")
 
     def body(carry, _):
         window, overflowed = carry
@@ -165,6 +170,9 @@ def make_rollout_fn(
     tensors to (C, E, w, w), which removes the HBM spill cliff past ~32
     concurrent streams on one chip — total work is identical, only the
     schedule changes. Requires S % C == 0."""
+    if stream_chunk is not None and not batched:
+        raise ValueError("stream_chunk only applies to batched=True "
+                         "rollouts (single-stream has no stream axis)")
 
     def fn(params, aa, window0):
         return rollout_scan(

@@ -467,3 +467,60 @@ def test_edge_sharded_rollout_sharded_cell_rebuild():
     np.testing.assert_allclose(np.asarray(final_w), np.asarray(ref_final),
                                rtol=1e-4, atol=1e-4)
     assert not bool(diags["edge_overflow"])
+
+
+def test_edge_sharded_forward_predict_delta_matches_single_device(sparse_cfg):
+    """predict_delta parity: the shared shard forward must apply the same
+    residual head as gkn_apply (a dropped residual trained wrong gradients
+    while every flagship preset sets predict_delta=True)."""
+    cfg = dataclasses.replace(sparse_cfg, predict_delta=True)
+    params = gkn_init(jax.random.PRNGKey(2), cfg)
+    aa, pos, edges, mask, ef, y = _sparse_inputs(cfg)
+    ref = gkn_apply(
+        params, cfg,
+        GKNBatch(aa, pos, SparseGraph(edges, mask, ef), y),
+    )
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    fwd = jax.jit(make_edge_sharded_forward(cfg, mesh))
+    out = fwd(params, aa, pos, edges, mask, ef)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    tcfg = TrainConfig(lr=1e-3, batch_size=8)
+    state1, tx1, _ = create_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    step1 = make_train_step(cfg, tx1, donate=False)
+    batch = {"aa": aa, "window": pos, "y": y, "edges": edges, "mask": mask}
+    _, m1 = step1(state1, batch)
+    state2, tx2, _ = create_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    step2 = make_edge_sharded_train_step(cfg, tx2, mesh)
+    _, m2 = step2(state2, aa, pos, edges, mask, ef, y)
+    np.testing.assert_allclose(float(m1["rel_l2"]), float(m2["rel_l2"]),
+                               rtol=1e-5)
+
+
+def test_make_mesh_rejects_impossible_model_axis():
+    """An explicit model-parallel request that cannot be honored must not
+    silently collapse to no model parallelism."""
+    with pytest.raises(ValueError, match="model axis"):
+        make_mesh(MeshConfig(data=2, model=3))
+
+
+def test_rollout_arg_validation(sparse_cfg):
+    from molecular_dynamics_neural_operator_tpu.rollout import (
+        make_rollout_fn,
+    )
+    from molecular_dynamics_neural_operator_tpu.parallel.rollout_edge_sharded import (  # noqa: E501
+        make_edge_sharded_rollout_fn,
+    )
+
+    with pytest.raises(ValueError, match="stream_chunk"):
+        make_rollout_fn(sparse_cfg, 4, stream_chunk=2)
+    with pytest.raises(ValueError, match="graph_frame"):
+        params = gkn_init(jax.random.PRNGKey(0), sparse_cfg)
+        aa = jnp.zeros((sparse_cfg.num_residues,), jnp.int32)
+        w0 = jnp.zeros((sparse_cfg.window_size, sparse_cfg.num_residues, 3))
+        make_rollout_fn(sparse_cfg, 2, graph_frame="LAST")(params, aa, w0)
+    dense = dataclasses.replace(sparse_cfg, graph_mode="dense")
+    mesh = make_mesh(MeshConfig(data=1, model=8))
+    with pytest.raises(ValueError, match="sparse"):
+        make_edge_sharded_rollout_fn(dense, mesh, num_steps=2)
