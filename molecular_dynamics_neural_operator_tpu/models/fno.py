@@ -116,6 +116,10 @@ def _spectral_conv(sp_params, x: Array, modes1: int, modes2: int,
     # Such configs are degenerate (modes exceeding the grid) — keep the
     # FFT path's behavior and never auto-route them to dft.
     overlapping = 2 * m1 > r1 or m2 > r2 // 2 + 1
+    if impl not in ("auto", "dft", "fft"):
+        # the FFT code is the fall-through below; a typo must not silently
+        # benchmark the 3x-slower path as if it were 'dft'
+        raise ValueError(f"unknown spectral impl: {impl!r}")
     if impl == "auto":
         impl = "dft" if max(r1, r2) <= 128 and not overlapping else "fft"
     if impl == "dft" and overlapping:

@@ -47,7 +47,10 @@ from molecular_dynamics_neural_operator_tpu.ops import (
     lstm_init,
     mlp_init,
 )
-from molecular_dynamics_neural_operator_tpu.ops.edge_conv import sparse_inv_degree
+from molecular_dynamics_neural_operator_tpu.ops.edge_conv import (
+    SCATTER_ONEHOT_MAX_NODES,
+    sparse_inv_degree,
+)
 from molecular_dynamics_neural_operator_tpu.preprocess.grid_jax import (
     AMINO_ACID_CHARGES,
     debye_huckel_at_atoms,
@@ -304,7 +307,7 @@ def gkn_apply(
             # same node-count bound as the one-hot scatter path: the
             # kernel builds (B, E, R) incidence tensors and per-example
             # VMEM blocks — large systems stay on the segment/XLA path
-            and batch.aa.shape[0] <= 512):
+            and batch.aa.shape[0] <= SCATTER_ONEHOT_MAX_NODES):
         return _gkn_apply_pallas_batched(params, cfg, batch, return_latent)
     fn = lambda window, graph: gkn_apply_single(
         params, cfg, batch.aa, window, graph, return_latent,

@@ -23,7 +23,6 @@ import jax.numpy as jnp
 
 from molecular_dynamics_neural_operator_tpu.configs import ModelConfig
 from molecular_dynamics_neural_operator_tpu.models import gkn_apply_single
-from molecular_dynamics_neural_operator_tpu.models.losses import mse
 from molecular_dynamics_neural_operator_tpu.rollout.scan import _step as rollout_step
 from molecular_dynamics_neural_operator_tpu.train.loop import featurize_batch
 from molecular_dynamics_neural_operator_tpu.train.state import TrainState
@@ -102,6 +101,7 @@ def curriculum_loss_batched(
     threshold: float = 8.0,
     step_weights: Optional[Sequence[float]] = None,
     coord_clip: Optional[float] = None,
+    return_overflow: bool = False,
 ):
     """Whole-batch K-step curriculum loss: ONE scan over rollout steps with
     batched graph rebuild and the batched forward — so the Pallas training
@@ -109,7 +109,11 @@ def curriculum_loss_batched(
     too, where the vmapped per-example formulation could not route to it.
     Same math as ``curriculum_loss_single`` summed over the batch.
 
-    y_seq: (B, K, R, 3). Returns (summed loss, mean mse)."""
+    y_seq: (B, K, R, 3). Returns (summed loss, mean mse), or with
+    ``return_overflow`` (summed loss, (mean mse, overflow)) where overflow
+    flags any edge-capacity truncation in the free-step graph rebuilds —
+    training on silently truncated graphs is the same condition inference
+    reports as ``edge_overflow``."""
     from molecular_dynamics_neural_operator_tpu.models import (
         GKNBatch,
         gkn_apply,
@@ -137,6 +141,7 @@ def curriculum_loss_batched(
     loss_vec = weights[0] * rel(out, y_seq[:, 0])
     sq = jnp.sum((out - y_seq[:, 0]) ** 2, axis=(1, 2))
 
+    overflow = jnp.zeros((), jnp.bool_)
     if k > 1:
         if coord_clip is not None:
             out = jnp.clip(out, -coord_clip, coord_clip)
@@ -144,10 +149,10 @@ def curriculum_loss_batched(
                                  axis=1)
 
         def body(carry, inputs):
-            window, loss_vec, sq = carry
+            window, loss_vec, sq, ovf = carry
             y_t, w = inputs  # (B, R, 3), scalar
             frame = window[:, -1]
-            graph, _ = jax.vmap(
+            graph, ov = jax.vmap(
                 lambda f: _build_graph(cfg, f, threshold)
             )(frame)
             out = gkn_apply(
@@ -162,14 +167,17 @@ def curriculum_loss_batched(
             sq = sq + jnp.sum((out - y_t) ** 2, axis=(1, 2))
             new_window = jnp.concatenate([window[:, 1:], out[:, None]],
                                          axis=1)
-            return (new_window, loss_vec, sq), None
+            return (new_window, loss_vec, sq, ovf | jnp.any(ov)), None
 
         y_steps = jnp.swapaxes(y_seq, 0, 1)  # (K, B, R, 3)
-        (window, loss_vec, sq), _ = jax.lax.scan(
-            body, (window, loss_vec, sq), (y_steps[1:], weights[1:])
+        (window, loss_vec, sq, overflow), _ = jax.lax.scan(
+            body, (window, loss_vec, sq, overflow), (y_steps[1:], weights[1:])
         )
     r3 = y_seq.shape[-2] * y_seq.shape[-1]
-    return jnp.sum(loss_vec), jnp.mean(sq / (k * r3))
+    loss, msem = jnp.sum(loss_vec), jnp.mean(sq / (k * r3))
+    if return_overflow:
+        return loss, (msem, overflow)
+    return loss, msem
 
 
 def make_curriculum_train_step(
@@ -190,19 +198,29 @@ def make_curriculum_train_step(
         gbatch = featurize_batch(cfg, batch, graph_frame)
         return curriculum_loss_batched(
             params, cfg, gbatch, batch["y_seq"], threshold, step_weights,
-            coord_clip,
+            coord_clip, return_overflow=True,
         )
 
     @jax.jit
     def step(state: TrainState, batch):
-        (l2, m), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch
-        )
+        k = batch["y_seq"].shape[1]
+        if k != rollout_steps:
+            # K is taken from the batch; a horizon mismatch would silently
+            # train a different objective than configured (the FNO
+            # counterpart validates identically, models/fno.py).
+            raise ValueError(
+                f"batch carries y_seq with K={k} but the step was built "
+                f"with rollout_steps={rollout_steps} — assemble batches "
+                f"with get_batch(..., rollout_horizon={rollout_steps})"
+            )
+        (l2, (m, overflow)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, batch)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = jax.tree_util.tree_map(lambda p, u: p + u,
                                         state.params, updates)
         return TrainState(params, opt_state, state.step + 1, state.rng), {
-            "rel_l2": l2, "mse": m,
+            "rel_l2": l2, "mse": m, "edge_overflow": overflow,
         }
 
     return step

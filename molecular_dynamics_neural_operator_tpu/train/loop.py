@@ -41,6 +41,9 @@ def featurize_batch(cfg: ModelConfig, batch: dict, graph_frame: str = "first") -
     the reference's training dataset (``dataset.py:189,197``), "last" its
     rollout rebuild (``graph_kernel.py:363``).
     """
+    if graph_frame not in ("first", "last"):
+        raise ValueError(f"unknown graph_frame: {graph_frame!r} "
+                         "(expected 'first' or 'last')")
     window = batch["window"]
     frame = window[:, 0] if graph_frame == "first" else window[:, -1]
     if "adj" in batch:
@@ -108,7 +111,9 @@ def make_eval_step(cfg: ModelConfig, graph_frame: str = "first"):
         l2 = jnp.sum(per_rel * w)  # LpLoss(size_average=False) convention
         per_sq = jnp.sum(diff * diff, axis=1)
         m = jnp.sum(per_sq * w) / (jnp.sum(w) * diff.shape[1])
-        return {"rel_l2": l2, "mse": m}
+        # "n" (real-example count) lets eval_epoch weight the padded
+        # remainder batch by its true size instead of as a full batch.
+        return {"rel_l2": l2, "mse": m, "n": jnp.sum(w)}
 
     return jax.jit(step)
 
@@ -151,11 +156,12 @@ def train_epoch(state, train_step, dataset, indices, batch_size, *,
         return state, {"rel_l2": 0.0, "mse": 0.0,
                        "steps_per_sec": 0.0, "examples_per_sec": 0.0}
     n = len(acc)
-    # Force device completion BEFORE reading the timer: ticks fire at
-    # dispatch time, and the whole epoch may still be in flight here (the
-    # deferred-materialization design). A value read is the only reliable
-    # completion barrier on the axon backend.
-    float(acc[-1]["rel_l2"])
+    # Materialize ALL per-step metrics in ONE transfer (2N separate
+    # float() reads would pay 2N tunnel round-trips on a remote backend),
+    # which also forces device completion BEFORE reading the timer: ticks
+    # fire at dispatch time, and the whole epoch may still be in flight
+    # here (the deferred-materialization design).
+    acc = jax.device_get(acc)
     timer.stop()
     total = {
         k: sum(float(m[k]) for m in acc) / n for k in ("rel_l2", "mse")
@@ -186,7 +192,20 @@ def eval_epoch(params, eval_step, dataset, indices, batch_size, *,
         acc.append(eval_step(params, batch))
     if not acc:
         return {"rel_l2": float("nan"), "mse": float("nan")}
-    # materialize once — per-batch float() would sync the device each step
+    # one transfer for all per-batch metrics (not one round-trip per value)
+    acc = jax.device_get(acc)
+    if "n" in acc[0]:
+        # rel_l2 is a per-batch SUM over real examples, so dividing the
+        # grand total by the batch count already weighs every example
+        # equally (the reference's validate() convention — kept for value
+        # parity). mse is a per-batch MEAN, where averaging over batches
+        # would overweight the remainder batch's few real examples —
+        # weight it by real counts instead (equal to the old mean when
+        # every batch is full).
+        total_n = sum(float(m["n"]) for m in acc)
+        rel = sum(float(m["rel_l2"]) for m in acc) / len(acc)
+        mse = sum(float(m["mse"]) * float(m["n"]) for m in acc) / total_n
+        return {"rel_l2": rel, "mse": mse}
     return {
         k: sum(float(m[k]) for m in acc) / len(acc)
         for k in ("rel_l2", "mse")

@@ -36,10 +36,13 @@ def train_curriculum_recipe(
     seed: int = 0,
     log_every: int = 200,
     log_prefix: str = "",
+    min_warmup: int = 200,
 ):
     """Train ``steps`` optimizer steps: the first ``warmup_frac`` fraction
-    (at least 200 steps) teacher-forced (K=1), the rest with the K-step
-    rollout-in-the-loss. Returns (state, seconds, last_logged_loss)."""
+    (at least ``min_warmup`` steps) teacher-forced (K=1), the rest with the
+    K-step rollout-in-the-loss — the warmup -> K switch happens exactly at
+    the step boundary, mid-epoch if needed. Returns
+    (state, seconds, last_logged_loss)."""
     state, tx, _ = create_train_state(
         jax.random.PRNGKey(seed), cfg, tcfg,
         steps_per_epoch=max(1, len(train_indices) // tcfg.batch_size),
@@ -50,7 +53,7 @@ def train_curriculum_recipe(
     step_k = make_curriculum_train_step(
         cfg, tx, rollout_steps=k, threshold=threshold, coord_clip=coord_clip
     )
-    warmup = max(200, int(steps * warmup_frac))
+    warmup = max(min_warmup, int(steps * warmup_frac))
 
     t0 = time.time()
     seen, epoch, last_loss = 0, 0, None
@@ -64,8 +67,16 @@ def train_curriculum_recipe(
             if seen % log_every == 0:
                 last_loss = float(m["rel_l2"])
                 print(f"{log_prefix}step {seen}: loss {last_loss:.4f} "
-                      f"({time.time() - t0:.0f}s)", flush=True)
+                      f"(K={k_now}, {time.time() - t0:.0f}s)", flush=True)
             if seen >= steps:
+                break
+            if k_now == 1 and seen >= warmup:
+                # Cross the warmup -> K boundary MID-epoch: the batch
+                # iterator was built with rollout_horizon=1, so restart it
+                # at horizon=k. Without this, any run whose epoch length
+                # exceeded the remaining step budget (e.g. a one-epoch
+                # full-scale campaign) silently trained teacher-forced for
+                # its entire "curriculum" phase.
                 break
         epoch += 1
     return state, time.time() - t0, last_loss

@@ -171,3 +171,37 @@ def test_batched_curriculum_blocked_dataset_layout():
                                rtol=1e-5)
     np.testing.assert_allclose(losses["blk"][1], losses["csr"][1],
                                rtol=1e-5)
+
+
+def test_recipe_k_switch_engages_mid_epoch(capsys):
+    """The warmup -> K switch must happen at the step boundary even when
+    the boundary falls inside an epoch (a one-epoch full-scale run used
+    to train 100% teacher-forced while reporting a K-curriculum run)."""
+    import numpy as np
+
+    from molecular_dynamics_neural_operator_tpu.configs import (
+        ModelConfig,
+        TrainConfig,
+    )
+    from molecular_dynamics_neural_operator_tpu.data import (
+        WindowDataset,
+        synthetic_trajectory,
+    )
+    from molecular_dynamics_neural_operator_tpu.train.recipe import (
+        train_curriculum_recipe,
+    )
+
+    cfg = ModelConfig(width=8, ker_width=16, depth=1, window_size=4,
+                      num_residues=10, max_edges=128, graph_mode="sparse",
+                      compute_dtype="float32", predict_delta=True)
+    tcfg = TrainConfig(lr=1e-3, batch_size=4)
+    traj = synthetic_trajectory(num_frames=64, num_residues=10, seed=0)
+    ds = WindowDataset(traj, window_size=4, graph_mode="sparse",
+                       max_edges=128)
+    # 12 train windows -> one epoch is 3 batches of 4; warmup=2 of 6 steps
+    # crosses the K boundary mid-epoch.
+    train_curriculum_recipe(cfg, tcfg, ds, np.arange(12), steps=6, k=3,
+                            warmup_frac=0.34, min_warmup=2, log_every=1)
+    lines = [l for l in capsys.readouterr().out.splitlines() if "step " in l]
+    ks = [l.split("(K=")[1].split(",")[0] for l in lines]
+    assert ks[:2] == ["1", "1"] and set(ks[2:]) == {"3"}, ks

@@ -179,15 +179,20 @@ def test_eval_remainder_padding_single_shape():
     step = make_eval_step(cfg)
     m_pad = eval_epoch(state.params, step, ds, idx, 4, drop_last=False)
 
-    # oracle: unpadded batches, remainder computed at its true size
-    tot = {"rel_l2": 0.0, "mse": 0.0}
-    nb = 0
+    # oracle: unpadded batches, remainder computed at its true size.
+    # rel_l2 keeps the reference's sum-over-examples / num-batches
+    # convention; mse is the per-example mean (a mean over batches would
+    # overweight the remainder batch's few examples).
+    rel_sum, sq_sum, nb, n_ex = 0.0, 0.0, 0, 0
     for b in batch_iterator(ds, idx, 4, shuffle=False, drop_last=False):
         m = step(state.params, {k: jnp.asarray(v) for k, v in b.items()})
-        tot["rel_l2"] += float(m["rel_l2"]); tot["mse"] += float(m["mse"])
+        bsz = b["window"].shape[0]
+        rel_sum += float(m["rel_l2"])
+        sq_sum += float(m["mse"]) * bsz
         nb += 1
-    for k in tot:
-        np.testing.assert_allclose(m_pad[k], tot[k] / nb, rtol=1e-5)
+        n_ex += bsz
+    np.testing.assert_allclose(m_pad["rel_l2"], rel_sum / nb, rtol=1e-5)
+    np.testing.assert_allclose(m_pad["mse"], sq_sum / n_ex, rtol=1e-5)
 
 
 def test_streamed_writer_bit_identical(tmp_path):
