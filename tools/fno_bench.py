@@ -1,5 +1,13 @@
 """FNO family throughput on one chip (BASELINE config 2, no reference
 numbers exist): rollout steps/s (single + batched) and training samples/s."""
+
+import sys as _sys
+from pathlib import Path as _Path
+
+# run-by-path support: `python tools/x.py` puts tools/ (not the repo
+# root) on sys.path; the package and `tools.` imports need the root
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 import sys
 
 import jax

@@ -18,6 +18,13 @@ Run on TPU:  python tools/full_scale_campaign.py --data runs/synth_1FME_full.h5
 Artifact:    tools/full_scale_results.json
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+
+# run-by-path support: `python tools/x.py` puts tools/ (not the repo
+# root) on sys.path; the package and `tools.` imports need the root
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 import argparse
 import json
 import resource

@@ -16,6 +16,13 @@ Run on TPU:  python tools/mfu.py
 VERDICT r2 asked for.)
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+
+# run-by-path support: `python tools/x.py` puts tools/ (not the repo
+# root) on sys.path; the package and `tools.` imports need the root
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 import argparse
 import json
 from pathlib import Path

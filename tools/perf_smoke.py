@@ -9,6 +9,13 @@ from CLAUDE.md (the axon tunnel's block_until_ready does not await).
     python tools/perf_smoke.py [--quick]
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+
+# run-by-path support: `python tools/x.py` puts tools/ (not the repo
+# root) on sys.path; the package and `tools.` imports need the root
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 import argparse
 import json
 import time

@@ -18,6 +18,13 @@ last frame's contact map each step) — and reports the divergence:
 Writes tools/reference_parity_results.json.
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+
+# run-by-path support: `python tools/x.py` puts tools/ (not the repo
+# root) on sys.path; the package and `tools.` imports need the root
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 import argparse
 import json
 import time

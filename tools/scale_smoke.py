@@ -10,6 +10,13 @@ regime (parallel/edge_sharded.py).
     python tools/scale_smoke.py [--nodes 10000] [--edges 160000]
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+
+# run-by-path support: `python tools/x.py` puts tools/ (not the repo
+# root) on sys.path; the package and `tools.` imports need the root
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 import argparse
 import dataclasses
 import json

@@ -12,6 +12,14 @@ encoder+head grad and the optax update are all ~0; edge-MLP fwd+bwd
 
 Usage: python tools/train_anatomy.py   (real TPU; ~10 min of compiles)
 """
+
+import sys as _sys
+from pathlib import Path as _Path
+
+# run-by-path support: `python tools/x.py` puts tools/ (not the repo
+# root) on sys.path; the package and `tools.` imports need the root
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 import sys
 
 import jax
