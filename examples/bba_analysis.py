@@ -17,6 +17,13 @@ Usage:
 
 from __future__ import annotations
 
+import sys as _sys
+from pathlib import Path as _Path
+
+# run-by-path support: `python examples/bba_analysis.py` puts
+# examples/ (not the repo root) on sys.path
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 import argparse
 import json
 from pathlib import Path
