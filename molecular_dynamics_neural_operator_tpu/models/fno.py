@@ -223,7 +223,10 @@ def make_fno_window_train_step(cfg: FNOConfig, tx):
     """Jitted (state, window-batch dict) -> (state, metrics): featurize to
     distance matrices on device inside the same compiled step."""
     from molecular_dynamics_neural_operator_tpu.models.losses import lp_rel, mse
-    from molecular_dynamics_neural_operator_tpu.train.state import TrainState
+    from molecular_dynamics_neural_operator_tpu.train.state import (
+        TrainState,
+        apply_update,
+    )
 
     def loss_fn(params, fb: FNOBatch):
         out = fno_apply(params, cfg, fb.x)
@@ -237,10 +240,7 @@ def make_fno_window_train_step(cfg: FNOConfig, tx):
         (l2, m), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, fb
         )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = jax.tree_util.tree_map(lambda p, u: p + u,
-                                        state.params, updates)
-        return TrainState(params, opt_state, state.step + 1, state.rng), {
+        return apply_update(state, grads, tx), {
             "rel_l2": l2, "mse": m,
         }
 
@@ -266,7 +266,10 @@ def make_fno_window_eval_step(cfg: FNOConfig):
 
 def make_fno_train_step(cfg: FNOConfig, tx):
     from molecular_dynamics_neural_operator_tpu.models.losses import lp_rel, mse
-    from molecular_dynamics_neural_operator_tpu.train.state import TrainState
+    from molecular_dynamics_neural_operator_tpu.train.state import (
+        TrainState,
+        apply_update,
+    )
 
     def loss_fn(params, batch: FNOBatch):
         out = fno_apply(params, cfg, batch.x)
@@ -280,10 +283,7 @@ def make_fno_train_step(cfg: FNOConfig, tx):
         (l2, m), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch
         )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = jax.tree_util.tree_map(lambda p, u: p + u,
-                                        state.params, updates)
-        return TrainState(params, opt_state, state.step + 1, state.rng), {
+        return apply_update(state, grads, tx), {
             "rel_l2": l2, "mse": m,
         }
 
@@ -301,7 +301,10 @@ def make_fno_curriculum_train_step(cfg: FNOConfig, tx,
     (``WindowDataset.get_batch(..., rollout_horizon=K)``); distance
     targets are computed on device. K=1 reduces to the teacher-forced
     objective."""
-    from molecular_dynamics_neural_operator_tpu.train.state import TrainState
+    from molecular_dynamics_neural_operator_tpu.train.state import (
+        TrainState,
+        apply_update,
+    )
 
     def _rel(pred: Array, truth: Array) -> Array:
         """Per-example relative L2 on (B, R, R) matrices -> (B,)."""
@@ -367,10 +370,7 @@ def make_fno_curriculum_train_step(cfg: FNOConfig, tx,
         (l2, m), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch
         )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = jax.tree_util.tree_map(lambda p, u: p + u,
-                                        state.params, updates)
-        return TrainState(params, opt_state, state.step + 1, state.rng), {
+        return apply_update(state, grads, tx), {
             "rel_l2": l2, "mse": m,
         }
 

@@ -157,7 +157,10 @@ def make_edge_sharded_train_step(cfg: ModelConfig, tx, mesh: Mesh,
     (autodiff through the psums), optax update. Params and optimizer state
     replicated; gradients all-reduce automatically."""
     from molecular_dynamics_neural_operator_tpu.models.losses import lp_rel, mse
-    from molecular_dynamics_neural_operator_tpu.train.state import TrainState
+    from molecular_dynamics_neural_operator_tpu.train.state import (
+        TrainState,
+        apply_update,
+    )
 
     fwd = make_edge_sharded_forward(cfg, mesh, data_axis, model_axis)
 
@@ -172,10 +175,7 @@ def make_edge_sharded_train_step(cfg: ModelConfig, tx, mesh: Mesh,
         (l2, m), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, aa, window, edges, mask, edge_feats, y
         )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = jax.tree_util.tree_map(lambda p, u: p + u,
-                                        state.params, updates)
-        return TrainState(params, opt_state, state.step + 1, state.rng), {
+        return apply_update(state, grads, tx), {
             "rel_l2": l2, "mse": m,
         }
 

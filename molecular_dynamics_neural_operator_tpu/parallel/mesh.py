@@ -27,7 +27,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from molecular_dynamics_neural_operator_tpu.configs import MeshConfig, ModelConfig
 from molecular_dynamics_neural_operator_tpu.train.loop import _loss_fn, featurize_batch
-from molecular_dynamics_neural_operator_tpu.train.state import TrainState
+from molecular_dynamics_neural_operator_tpu.train.state import (
+    TrainState,
+    apply_update,
+)
 
 
 def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
@@ -106,10 +109,7 @@ def _make_shardmapped_step(cfg, tx, mesh, loss_fn, data_axis="data"):
     def step(state: TrainState, batch: dict):
         rest = {k: v for k, v in batch.items() if k != "aa"}
         l2, m, grads = grads_fn(state.params, batch["aa"], rest)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = jax.tree_util.tree_map(lambda p, u: p + u,
-                                        state.params, updates)
-        new_state = TrainState(params, opt_state, state.step + 1, state.rng)
+        new_state = apply_update(state, grads, tx)
         return new_state, {"rel_l2": l2, "mse": m}
 
     step_jit = jax.jit(step, donate_argnums=(0,))
@@ -162,14 +162,7 @@ def make_sharded_train_step(
         (l2, (m, _)), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
             state.params, cfg, gbatch
         )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
-        new_state = TrainState(
-            params=params,
-            opt_state=opt_state,
-            step=state.step + 1,
-            rng=state.rng,
-        )
+        new_state = apply_update(state, grads, tx)
         return new_state, {"rel_l2": l2, "mse": m}
 
     # Input shardings propagate from the device_put batch and replicated

@@ -25,7 +25,10 @@ from molecular_dynamics_neural_operator_tpu.configs import ModelConfig
 from molecular_dynamics_neural_operator_tpu.models import gkn_apply_single
 from molecular_dynamics_neural_operator_tpu.rollout.scan import _step as rollout_step
 from molecular_dynamics_neural_operator_tpu.train.loop import featurize_batch
-from molecular_dynamics_neural_operator_tpu.train.state import TrainState
+from molecular_dynamics_neural_operator_tpu.train.state import (
+    TrainState,
+    apply_update,
+)
 
 
 def _example_rel(pred, truth):
@@ -216,10 +219,7 @@ def make_curriculum_train_step(
         (l2, (m, overflow)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, batch)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = jax.tree_util.tree_map(lambda p, u: p + u,
-                                        state.params, updates)
-        return TrainState(params, opt_state, state.step + 1, state.rng), {
+        return apply_update(state, grads, tx), {
             "rel_l2": l2, "mse": m, "edge_overflow": overflow,
         }
 

@@ -31,7 +31,10 @@ from molecular_dynamics_neural_operator_tpu.models import (
     lp_rel,
     mse,
 )
-from molecular_dynamics_neural_operator_tpu.train.state import TrainState
+from molecular_dynamics_neural_operator_tpu.train.state import (
+    TrainState,
+    apply_update,
+)
 
 
 def featurize_batch(cfg: ModelConfig, batch: dict, graph_frame: str = "first") -> GKNBatch:
@@ -75,16 +78,7 @@ def make_train_step(cfg: ModelConfig, tx, graph_frame: str = "first",
         (l2, (m, _)), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
             state.params, cfg, gbatch
         )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = jax.tree_util.tree_map(
-            lambda p, u: p + u, state.params, updates
-        )
-        new_state = TrainState(
-            params=params,
-            opt_state=opt_state,
-            step=state.step + 1,
-            rng=state.rng,
-        )
+        new_state = apply_update(state, grads, tx)
         return new_state, {"rel_l2": l2, "mse": m}
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -25,6 +25,17 @@ class TrainState(NamedTuple):
     rng: jax.Array
 
 
+def apply_update(state: TrainState, grads, tx) -> TrainState:
+    """One optimizer application: the single definition of the
+    tx.update -> params + updates -> step + 1 sequence used by every step
+    factory (GKN teacher/curriculum, FNO, sharded steps) — previously
+    seven inline copies that could drift."""
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                    state.params, updates)
+    return TrainState(params, opt_state, state.step + 1, state.rng)
+
+
 def create_train_state(
     key,
     model_cfg: ModelConfig,

@@ -14,14 +14,14 @@ this model (utils/torch_export.py) and the two implementations are
 compared rollout-vs-rollout on identical weights.
 """
 
+from __future__ import annotations
+
 import sys as _sys
 from pathlib import Path as _Path
 
 # run-by-path support: `python tools/x.py` puts tools/ (not the repo
 # root) on sys.path; the package and `tools.` imports need the root
 _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
-
-from __future__ import annotations
 
 import numpy as np
 import torch
