@@ -32,5 +32,5 @@ python -m molecular_dynamics_neural_operator_tpu.cli.train \
   $COMMON --epochs 10 --rollout_steps 4 --resume "$RUN/last.npz"
 
 echo "=== analysis: 1000-step free rollout from the trained run ==="
-python examples/bba_analysis.py --run_path "$RUN" \
-  --rollout_steps 1000 --out_dir "$RUN/analysis"
+python examples/bba_analysis.py --data_path "$DATA" --run_path "$RUN" \
+  --out "$RUN/analysis" --num_steps 1000
