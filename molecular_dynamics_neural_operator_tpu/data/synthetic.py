@@ -81,15 +81,32 @@ def _contact_edges(positions: np.ndarray, threshold: float):
     return flat, counts
 
 
+def _time_grid(num_frames: int, dt):
+    """Time points for the breathing modes.
+
+    ``dt=None`` (legacy) spans exactly one period: ``linspace(0, 2pi, N)``.
+    That makes per-frame motion shrink ~1/N — at reference scale (1.11M
+    frames) the trajectory is numerically static frame to frame, so any
+    model near the copy-last-frame baseline trivially aces a contact gate.
+    Pass an explicit ``dt`` (time step PER FRAME) for scale-invariant
+    dynamics: the per-frame displacement statistics then match a
+    ``num_frames = 2pi/dt`` legacy file no matter how many frames are
+    written."""
+    if dt is None:
+        return np.linspace(0, 2 * np.pi, num_frames)
+    return np.arange(num_frames, dtype=np.float64) * float(dt)
+
+
 def synthetic_trajectory(
     num_frames: int = 256,
     num_residues: int = 28,
     threshold: float = 8.0,
     seed: int = 0,
+    dt: float | None = None,
 ) -> TrajectoryData:
     """Random-walk chain with ~3.8 A bonds breathing smoothly over time."""
     base, modes, freqs, phases, aa = _chain_params(num_residues, seed)
-    t = np.linspace(0, 2 * np.pi, num_frames)
+    t = _time_grid(num_frames, dt)
     positions = _positions_at(base, modes, freqs, phases, t)  # (N, R, 3)
 
     flat, _ = _contact_edges(positions, threshold)
@@ -114,18 +131,20 @@ def write_synthetic_h5(
     num_residues: int = 28,
     threshold: float = 8.0,
     seed: int = 0,
+    dt: float | None = None,
 ) -> TrajectoryData:
     """Write a synthetic trajectory in the reference's HDF5 schema."""
     import h5py
 
-    traj = synthetic_trajectory(num_frames, num_residues, threshold, seed)
+    traj = synthetic_trajectory(num_frames, num_residues, threshold, seed,
+                                dt=dt)
     path = Path(path)
     with h5py.File(path, "w") as f:
         # Ragged COO stored flattened per frame ([rows...; cols...]), the
         # layout ContactMapDataset reshapes with .reshape(2, -1)
         # (dataset.py:189). One slice assignment batches the vlen writes.
-        dt = h5py.vlen_dtype(np.int32)
-        cm = f.create_dataset("contact_map", (traj.num_frames,), dtype=dt)
+        vlen = h5py.vlen_dtype(np.int32)
+        cm = f.create_dataset("contact_map", (traj.num_frames,), dtype=vlen)
         cm[:] = [e.reshape(-1) for e in traj.edge_indices]
         f.create_dataset(
             "point_cloud", data=np.transpose(traj.positions, (0, 2, 1))
@@ -143,6 +162,7 @@ def write_synthetic_h5_streamed(
     seed: int = 0,
     chunk_frames: int = 65536,
     progress: bool = False,
+    dt: float | None = None,
 ) -> dict:
     """Reference-scale synthetic h5 writer: O(chunk_frames) host memory.
 
@@ -151,21 +171,22 @@ def write_synthetic_h5_streamed(
     1.1M frames) and batches each chunk's ragged vlen writes into a single
     h5py slice assignment — the per-frame write loop was the round-2
     blocker for full-scale ingestion evidence. Output is bit-identical to
-    ``write_synthetic_h5(path, num_frames, ...)`` for the same seed.
+    ``write_synthetic_h5(path, num_frames, ...)`` for the same seed
+    and ``dt``.
 
     Returns a summary dict (frames, total/max edge counts, bytes)."""
     import h5py
 
     base, modes, freqs, phases, aa = _chain_params(num_residues, seed)
-    t_all = np.linspace(0, 2 * np.pi, num_frames)
+    t_all = _time_grid(num_frames, dt)
 
     path = Path(path)
     total_edges = 0
     max_edges = 0
     with h5py.File(path, "w") as f:
-        dt = h5py.vlen_dtype(np.int32)
+        vlen = h5py.vlen_dtype(np.int32)
         cm = f.create_dataset(
-            "contact_map", (num_frames,), dtype=dt,
+            "contact_map", (num_frames,), dtype=vlen,
             chunks=(min(num_frames, 4096),),
         )
         pc = f.create_dataset(

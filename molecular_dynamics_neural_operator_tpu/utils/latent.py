@@ -54,8 +54,31 @@ def pca_embed(latents: np.ndarray, dim: int = 2) -> np.ndarray:
     return x @ vt[:dim].T
 
 
+def degenerate_latents_reason(latents: np.ndarray) -> Optional[str]:
+    """Why these latents cannot be meaningfully embedded, or None if fine.
+
+    Non-finite or zero-variance latents (an early/diverged model) must be
+    caught BEFORE the embedding math: ``np.linalg.svd`` raises on NaN, and
+    sklearn's Barnes-Hut t-SNE normalizes its init by a std that is 0/NaN
+    for degenerate input, feeding NaN coordinates into the C quad tree —
+    which recurses until it overflows the stack and SEGFAULTS the whole
+    training process (observed on the 1.1M-frame run of record). A plot
+    helper is never allowed to take down a training run.
+    """
+    if not np.isfinite(latents).all():
+        return "non-finite values"
+    if float(np.ptp(latents)) == 0.0:
+        return "zero variance (all frames identical)"
+    return None
+
+
 def tsne_embed(latents: np.ndarray, dim: int = 2,
                perplexity: float = 30.0) -> Optional[np.ndarray]:
+    reason = degenerate_latents_reason(latents)
+    if reason is not None:
+        print(f"WARNING: skipping t-SNE embedding: latents have {reason}",
+              flush=True)
+        return None
     try:
         from sklearn.manifold import TSNE
     except Exception:
@@ -80,6 +103,13 @@ def log_latent_visualization(
     run_dir.mkdir(parents=True, exist_ok=True)
     np.save(run_dir / f"latent_space_epoch{epoch}.npy", latents)
 
+    reason = degenerate_latents_reason(latents)
+    if reason is not None:
+        # latents are still saved above for post-mortem; only the
+        # embedding/scatter is skipped (see degenerate_latents_reason).
+        print(f"WARNING: skipping {method} latent plot at epoch {epoch}: "
+              f"latents have {reason}", flush=True)
+        return {}
     emb = pca_embed(latents) if method.upper() == "PCA" else tsne_embed(latents)
     if emb is None:
         return {}

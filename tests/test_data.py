@@ -231,6 +231,50 @@ def test_streamed_writer_bit_identical(tmp_path):
     np.testing.assert_array_equal(la.positions, lb.positions)
 
 
+def test_synthetic_dt_scale_invariant_dynamics(tmp_path):
+    """With an explicit ``dt`` the per-frame motion is independent of the
+    total frame count (the legacy linspace span makes a 1.1M-frame file
+    numerically static frame-to-frame — trivially gamed by a copy-last-
+    frame baseline), and the streamed writer honors the same ``dt``."""
+    import h5py
+
+    from molecular_dynamics_neural_operator_tpu.data import (
+        write_synthetic_h5_streamed,
+    )
+    from molecular_dynamics_neural_operator_tpu.data.synthetic import (
+        synthetic_trajectory,
+    )
+
+    dt = 2 * np.pi / 4000
+    short = synthetic_trajectory(60, num_residues=12, seed=3, dt=dt)
+    long = synthetic_trajectory(600, num_residues=12, seed=3, dt=dt)
+
+    def per_frame_mse(pos):
+        return float(np.mean((pos[1:] - pos[:-1]) ** 2))
+
+    m_long = per_frame_mse(long.positions)
+    assert m_long > 0
+    # under a fixed dt the short trajectory IS the prefix of the long one:
+    # frame count only extends the time grid, it never rescales motion
+    np.testing.assert_array_equal(short.positions, long.positions[:60])
+
+    # the legacy span (one period over the whole file) slows per-frame
+    # motion ~1/N^2 as files grow — the very property that made the
+    # 1.1M-frame gate trivial; dt mode has no such N-dependence
+    leg60 = synthetic_trajectory(60, num_residues=12, seed=3)
+    leg600 = synthetic_trajectory(600, num_residues=12, seed=3)
+    assert per_frame_mse(leg600.positions) < per_frame_mse(
+        leg60.positions) / 10
+
+    a, b = tmp_path / "mem.h5", tmp_path / "stream.h5"
+    write_synthetic_h5(a, num_frames=50, num_residues=12, seed=3, dt=dt)
+    write_synthetic_h5_streamed(b, num_frames=50, num_residues=12, seed=3,
+                                chunk_frames=16, dt=dt)
+    with h5py.File(a) as fa, h5py.File(b) as fb:
+        np.testing.assert_array_equal(fa["point_cloud"][...],
+                                      fb["point_cloud"][...])
+
+
 def test_packed_and_list_trajectories_equivalent_in_dataset(tmp_path):
     """WindowDataset batches are identical whether the trajectory arrives
     packed (load_trajectory) or as a ragged list (synthetic_trajectory)."""

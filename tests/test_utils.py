@@ -141,6 +141,38 @@ def test_latent_pca_and_viz(tmp_path):
         assert p.exists()
 
 
+def test_latent_degenerate_input_is_skipped_not_fatal(tmp_path):
+    """Non-finite or constant latents (an early/diverged model) must skip
+    the embedding instead of crashing: np.linalg.svd raises on NaN and
+    sklearn's Barnes-Hut t-SNE SEGFAULTS on the NaN init it derives from
+    zero-variance input (observed killing the 1.1M-frame run of record at
+    its epoch-0 latent plot)."""
+    from molecular_dynamics_neural_operator_tpu.utils.latent import (
+        degenerate_latents_reason,
+        log_latent_visualization,
+        tsne_embed,
+    )
+
+    nan_latents = np.full((40, 8), np.nan, np.float32)
+    const_latents = np.ones((40, 8), np.float32)
+    ok_latents = np.random.default_rng(0).normal(size=(40, 8)).astype(
+        np.float32)
+    assert degenerate_latents_reason(nan_latents) is not None
+    assert degenerate_latents_reason(const_latents) is not None
+    assert degenerate_latents_reason(ok_latents) is None
+    assert tsne_embed(nan_latents) is None
+    assert tsne_embed(const_latents) is None
+    for bad in (nan_latents, const_latents):
+        for method in ("PCA", "TSNE"):
+            paths = log_latent_visualization(
+                bad, {"RMSD": np.zeros(40)}, tmp_path, epoch=1,
+                method=method,
+            )
+            assert paths == {}
+    # the raw latents are still saved for post-mortem
+    assert (tmp_path / "latent_space_epoch1.npy").exists()
+
+
 def test_latent_html_artifact(tmp_path):
     """log_latent_visualization emits a standalone HTML page embedding the
     scatter PNGs (the wandb.Html artifact, graph_kernel.py:609-621 parity)."""

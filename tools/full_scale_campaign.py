@@ -46,6 +46,14 @@ def main():
     p.add_argument("--max_edges", type=int, default=224)
     p.add_argument("--steps", type=int, default=0,
                    help="0 = exactly one epoch over the train split")
+    p.add_argument("--dt", type=float, default=2 * 3.141592653589793 / 4000,
+                   help="synthetic-writer time step PER FRAME (scale-"
+                        "invariant dynamics). The legacy writer spanned "
+                        "one period over the WHOLE file, so a 1.1M-frame "
+                        "trajectory was numerically static frame-to-frame "
+                        "and the contact gate was trivially passable by "
+                        "copy-last-frame; this default reproduces the "
+                        "per-frame motion of the 4000-frame eval regime")
     p.add_argument("--out", type=Path,
                    default=Path("tools/full_scale_results.json"))
     args = p.parse_args()
@@ -83,7 +91,8 @@ def main():
               f"to {args.data} ...", flush=True)
         t0 = time.time()
         info = write_synthetic_h5_streamed(
-            args.data, num_frames=args.frames, seed=0, chunk_frames=32768
+            args.data, num_frames=args.frames, seed=0, chunk_frames=32768,
+            dt=args.dt,
         )
         out["write_seconds"] = round(time.time() - t0, 1)
         out["file_bytes"] = info["file_bytes"]
@@ -147,6 +156,21 @@ def main():
     out["coord_mse_step1"] = float(mses[0])
     out["coord_mse_step100"] = float(mses[min(99, len(mses) - 1)])
     out["contact_map_accuracy_mean"] = float(cm_acc.mean())
+
+    # Honesty gate: the model must BEAT the copy-last-frame (zero-delta)
+    # baseline, or the contact-accuracy figure above says nothing about
+    # learning (a near-static trajectory hands the baseline ~100% too).
+    frozen = np.asarray(w0[-1])
+    truth_np = np.asarray(truth)
+    base_mses = np.mean((frozen[None] - truth_np) ** 2, axis=(1, 2))
+    cm_frozen = np.asarray(contact_map(jnp.asarray(frozen[None]), 8.0))
+    base_acc = np.mean(cm_frozen == cm_true, axis=(1, 2))
+    out["baseline_copy_last_mse_step1"] = float(base_mses[0])
+    out["baseline_copy_last_mse_step100"] = float(
+        base_mses[min(99, len(base_mses) - 1)])
+    out["baseline_copy_last_contact_accuracy_mean"] = float(base_acc.mean())
+    out["model_beats_copy_last_mse"] = bool(
+        np.mean(mses) < np.mean(base_mses))
     out["peak_rss_gb"] = round(rss_gb(), 2)
 
     print(json.dumps(out, indent=2))

@@ -9,7 +9,9 @@ v5e bf16 peak. Covers:
   kernel computes the same math a bit faster, so its MFU is >= the scan
   figure shown with its own measured rate),
 - teacher-forced training step (B=128),
-- K=4 curriculum training step (B=64).
+- K=4 curriculum training step (B=64; its K-1 free steps live inside a
+  lax.scan whose body cost_analysis counts once, so the tool rebuilds the
+  true count from the K=2 - K=1 program delta).
 
 Run on TPU:  python tools/mfu.py
 (No reference counterpart — this is the TPU-first falsifiability bar
@@ -141,16 +143,41 @@ def main():
     results["train_step_teacher_forced"]["ms_per_step"] = round(
         1e3 / t_rate, 2)
 
-    # --- curriculum K training step
+    # --- curriculum K training step.
+    # The K-1 free rollout steps live inside a lax.scan whose body the HLO
+    # cost analysis counts ONCE regardless of trip count (same behavior the
+    # rollout section asserts above) — so cost_analysis(step_K) reports
+    # 1 teacher + 1 free step of flops for ANY K >= 2, undercutting the
+    # true work by ~2x at K=4. Recover the per-free-step body as the
+    # K=2 - K=1 program delta (K=1 compiles with no scan at all) and
+    # extrapolate: flops(K) = flops(1) + (K-1) * body.
     bk = 64
-    batch_k = {k: jnp.asarray(v) for k, v in ds.get_batch(
-        np.arange(bk), rollout_horizon=args.k).items()}
     tcfg_k = TrainConfig(lr=3e-4, weight_decay=1e-6, batch_size=bk,
                          grad_clip_norm=0.5, skip_nonfinite_updates=True)
     state_k, tx_k, _ = create_train_state(jax.random.PRNGKey(0), cfg, tcfg_k)
+
+    def curriculum_flops(k):
+        b = {kk: jnp.asarray(v) for kk, v in ds.get_batch(
+            np.arange(bk), rollout_horizon=k).items()}
+        s = make_curriculum_train_step(cfg, tx_k, rollout_steps=k,
+                                       coord_clip=1000.0)
+        return flops_of(s, state_k, b)
+
+    batch_k = {k: jnp.asarray(v) for k, v in ds.get_batch(
+        np.arange(bk), rollout_horizon=args.k).items()}
     step_k = make_curriculum_train_step(cfg, tx_k, rollout_steps=args.k,
                                         coord_clip=1000.0)
-    f_k = flops_of(step_k, state_k, batch_k)
+    if args.k >= 2:
+        f1, f2 = curriculum_flops(1), curriculum_flops(2)
+        body = f2 - f1
+        f_k = f1 + (args.k - 1) * body
+        print(f"[mfu] curriculum flops model: K=1 program {f1 / 1e9:.2f} "
+              f"GFLOP + {args.k - 1} x {body / 1e9:.2f} GFLOP/free-step "
+              f"(scan body counted once by cost_analysis; raw K={args.k} "
+              f"program reports {flops_of(step_k, state_k, batch_k) / 1e9:.2f})",
+              flush=True)
+    else:
+        f_k = flops_of(step_k, state_k, batch_k)
 
     def run_k(n):
         def body(s, _):
