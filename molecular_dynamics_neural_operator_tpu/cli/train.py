@@ -101,6 +101,13 @@ def parse_args(argv=None):
     p.add_argument("--compute_dtype", choices=["float32", "bfloat16"],
                    default="bfloat16")
     p.add_argument("--predict_delta", action="store_true")
+    p.add_argument("--window_diff", action="store_true",
+                   help="encode the window as [last frame ; scaled frame "
+                        "diffs]: on slowly-varying trajectories raw frames "
+                        "hide the per-step motion ~1e-4 below the "
+                        "coordinate scale and training parks at the "
+                        "copy-last-frame baseline")
+    p.add_argument("--window_diff_scale", type=float, default=100.0)
     p.add_argument("--electrostatics", choices=["none", "dh"],
                    default="none",
                    help="append the on-device Debye-Hueckel potential at "
@@ -165,6 +172,8 @@ def build_configs(args):
         ),
         compute_dtype=args.compute_dtype,
         predict_delta=args.predict_delta,
+        window_diff=args.window_diff,
+        window_diff_scale=args.window_diff_scale,
         electrostatics=args.electrostatics,
     )
     data = DataConfig(

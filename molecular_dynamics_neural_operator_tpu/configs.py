@@ -71,6 +71,15 @@ class ModelConfig:
     # (graph_kernel.py:305 predicts absolute positions); on, it keeps free
     # rollout numerically stable far longer.
     predict_delta: bool = False
+    # Encode the window as [last frame ; scaled frame-to-frame diffs]
+    # instead of raw frames (same (T, R, 3) shape — no parameter change).
+    # Raw frames make the LSTM extract per-step motion as a ~1e-4-relative
+    # difference of large coordinates, so optimization parks at the
+    # copy-last-frame baseline; velocity-form input makes the dynamics a
+    # first-class feature. Off by default for reference parity
+    # (graph_kernel.py:283-288 feeds raw window frames).
+    window_diff: bool = False
+    window_diff_scale: float = 100.0
     # On-device neighbor rebuild during rollout (sparse mode):
     # "dense_rank" ranks the full (R, R) adjacency — exact, best to ~1k
     # nodes; "cell_list" is the O(N) spatial-hash path for large systems

@@ -138,7 +138,18 @@ def _node_in_features(cfg: ModelConfig) -> int:
 
 def _encode_nodes(params, cfg: ModelConfig, aa: Array, window: Array) -> Array:
     """window (T, R, 3) + aa (R,) -> node features (R, width) after fc1+ReLU."""
-    h = lstm_apply(params["lstm"], window)  # (R, 3)
+    if cfg.window_diff:
+        # Velocity-form encoding: [last frame ; scaled successive diffs],
+        # same (T, R, 3) shape (T-1 diffs + the anchor frame), so the LSTM
+        # parameters are unchanged. Raw frames differ by ~1e-4 relative on
+        # slow MD data — the recurrence must then recover motion as a
+        # catastrophic cancellation of large inputs, and training parks at
+        # the copy-last-frame baseline (see configs.ModelConfig).
+        diffs = (window[1:] - window[:-1]) * cfg.window_diff_scale
+        enc_in = jnp.concatenate([window[-1:], diffs], axis=0)
+    else:
+        enc_in = window
+    h = lstm_apply(params["lstm"], enc_in)  # (R, 3)
     h = linear_apply(params["lstm_fc"], h)
     emb = params["emb"][aa]  # (R, embedding_dim)
     feats = [emb, h]

@@ -55,22 +55,34 @@ def main():
     p.add_argument("--max_edges", type=int, default=512)
     p.add_argument("--train_conv_impl", default="xla",
                    choices=["xla", "pallas"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--scheduler_step", type=int, default=50,
+                   help="StepLR decay interval in epochs of the train split")
+    p.add_argument("--scheduler_gamma", type=float, default=0.8)
+    p.add_argument("--window_diff", action="store_true",
+                   help="encode the window as [last frame ; scaled frame "
+                        "diffs] so the LSTM sees velocities directly")
+    p.add_argument("--out", type=str, default=None,
+                   help="also write the JSON blob to this path")
     args = p.parse_args()
 
     traj = synthetic_trajectory(num_frames=args.frames, num_residues=28, seed=11)
     cfg = ModelConfig(compute_dtype=args.dtype, graph_mode="sparse",
                       max_edges=args.max_edges, predict_delta=True,
-                      train_conv_impl=args.train_conv_impl)
+                      train_conv_impl=args.train_conv_impl,
+                      window_diff=args.window_diff)
     tcfg = TrainConfig(lr=args.lr, weight_decay=1e-6, batch_size=args.batch,
                        grad_clip_norm=args.grad_clip,
-                       skip_nonfinite_updates=True)
+                       skip_nonfinite_updates=True,
+                       scheduler_step=args.scheduler_step,
+                       scheduler_gamma=args.scheduler_gamma)
     ds = WindowDataset(traj, window_size=cfg.window_size,
                        graph_mode="sparse", max_edges=args.max_edges)
     tr_idx, va_idx = train_valid_split(len(ds), 0.8, "partition")
     cc = args.coord_clip if args.coord_clip > 0 else None
     state, train_seconds, last_loss = train_curriculum_recipe(
         cfg, tcfg, ds, tr_idx, steps=args.steps, k=args.k,
-        warmup_frac=args.warmup_frac, coord_clip=cc,
+        warmup_frac=args.warmup_frac, coord_clip=cc, seed=args.seed,
     )
 
     # --- evaluation: free rollout from the validation region
@@ -103,7 +115,34 @@ def main():
                              "mean": float(cm_rmse.mean())},
         "contact_map_accuracy_mean": float(cm_acc.mean()),
     }
+
+    # Copy-last-frame (zero-delta) baseline: the honesty bar. On slowly
+    # varying trajectories the frozen last window frame scores high contact
+    # accuracy with NO model at all; a result only means learning if it
+    # beats these numbers.
+    frozen = np.asarray(w0[-1])
+    truth_np = np.asarray(truth)
+    base_mse = np.mean((frozen[None] - truth_np) ** 2, axis=(1, 2))
+    cm_frozen = np.asarray(contact_map(jnp.asarray(frozen[None]), 8.0))
+    base_acc = np.mean(cm_frozen == cm_true, axis=(1, 2))
+    out["baseline_copy_last"] = {
+        "coord_mse": {"step1": float(base_mse[0]),
+                      "step10": float(base_mse[min(9, len(base_mse)-1)]),
+                      "step100": float(base_mse[min(99, len(base_mse)-1)])},
+        "contact_map_accuracy_mean": float(base_acc.mean()),
+    }
+    fin = int(out["rollout_finite_steps"])
+    out["model_over_baseline_mse"] = {
+        # <1 means the model beats copy-last-frame at that horizon
+        "step1": float(mses[0] / base_mse[0]),
+        "step10": float(mses[min(9, fin-1)] / base_mse[min(9, fin-1)])
+        if fin >= 10 else None,
+        "step100": float(mses[min(99, fin-1)] / base_mse[min(99, fin-1)])
+        if fin >= 100 else None,
+    }
     print(json.dumps(out, indent=2))
+    if args.out:
+        _Path(args.out).write_text(json.dumps(out, indent=2) + "\n")
 
 
 if __name__ == "__main__":
