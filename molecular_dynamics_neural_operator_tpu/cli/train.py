@@ -60,6 +60,13 @@ def parse_args(argv=None):
                         "(dataset.py:108 ntrain cap)")
     p.add_argument("--rollout_steps", type=int, default=0,
                    help="K>0 enables the K-step rollout curriculum loss")
+    p.add_argument("--loss_space", choices=["absolute", "delta"],
+                   default="absolute",
+                   help="curriculum loss normalization: 'delta' divides "
+                        "each step's error by the true per-step "
+                        "displacement (makes learning the motion the "
+                        "unit-scale objective; 'absolute' is the "
+                        "reference's LpLoss on coordinates)")
     p.add_argument("--coord_clip", type=float, default=1000.0,
                    help="clip rail on the curriculum's inner rollout "
                         "coordinates (0 disables; essential for bf16 "
@@ -194,6 +201,7 @@ def build_configs(args):
         curriculum)
     train = TrainConfig(
         rollout_steps=args.rollout_steps,
+        loss_space=args.loss_space,
         grad_clip_norm=clip,
         skip_nonfinite_updates=skip_nf,
         seed=args.seed,
@@ -475,6 +483,7 @@ def main(argv=None):
             train_step, put = make_sharded_curriculum_train_step(
                 model_cfg, tx, mesh, rollout_steps=train_cfg.rollout_steps,
                 threshold=data_cfg.threshold, coord_clip=coord_clip,
+                loss_space=train_cfg.loss_space,
             )
             print(f"Data-parallel curriculum: batch sharded over "
                   f"{mesh.shape['data']} devices")
@@ -482,6 +491,7 @@ def main(argv=None):
             train_step = make_curriculum_train_step(
                 model_cfg, tx, rollout_steps=train_cfg.rollout_steps,
                 threshold=data_cfg.threshold, coord_clip=coord_clip,
+                loss_space=train_cfg.loss_space,
             )
         print(f"Curriculum training: K={train_cfg.rollout_steps} rollout "
               f"steps in the loss (grad_clip={train_cfg.grad_clip_norm}, "

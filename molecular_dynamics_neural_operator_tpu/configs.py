@@ -167,6 +167,11 @@ class TrainConfig:
     # (0 = pure teacher forcing, reference behavior).
     rollout_steps: int = 0
     rollout_loss_weight: float = 1.0
+    # "absolute" = reference LpLoss on coordinates; "delta" normalizes each
+    # step by the true per-step displacement so learning the MOTION is the
+    # unit-scale objective (see train/curriculum.py) — required for the
+    # model to beat the copy-last-frame baseline in bf16.
+    loss_space: str = "absolute"
     run_path: str = "runs/default"
     checkpoint_every: int = 1
     generate_movie: bool = True

@@ -185,6 +185,7 @@ def make_sharded_curriculum_train_step(
     step_weights=None,
     graph_frame: str = "first",
     coord_clip=None,
+    loss_space: str = "absolute",
 ):
     """Data-parallel K-step rollout-curriculum training step — the flagship
     recipe (tools/accuracy_eval.py) on many chips.
@@ -214,7 +215,7 @@ def make_sharded_curriculum_train_step(
             gbatch = featurize_batch(cfg, batch, graph_frame)
             return curriculum_loss_batched(
                 params, cfg, gbatch, batch["y_seq"], threshold,
-                step_weights, coord_clip,
+                step_weights, coord_clip, loss_space=loss_space,
             )
 
         return _make_shardmapped_step(cfg, tx, mesh, loss)
@@ -222,7 +223,7 @@ def make_sharded_curriculum_train_step(
     step = make_curriculum_train_step(
         cfg, tx, rollout_steps=rollout_steps, threshold=threshold,
         step_weights=step_weights, graph_frame=graph_frame,
-        coord_clip=coord_clip,
+        coord_clip=coord_clip, loss_space=loss_space,
     )
 
     def put(host_batch: dict) -> dict:

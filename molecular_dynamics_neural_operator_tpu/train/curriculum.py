@@ -105,6 +105,7 @@ def curriculum_loss_batched(
     step_weights: Optional[Sequence[float]] = None,
     coord_clip: Optional[float] = None,
     return_overflow: bool = False,
+    loss_space: str = "absolute",
 ):
     """Whole-batch K-step curriculum loss: ONE scan over rollout steps with
     batched graph rebuild and the batched forward — so the Pallas training
@@ -116,7 +117,18 @@ def curriculum_loss_batched(
     ``return_overflow`` (summed loss, (mean mse, overflow)) where overflow
     flags any edge-capacity truncation in the free-step graph rebuilds —
     training on silently truncated graphs is the same condition inference
-    reports as ``edge_overflow``."""
+    reports as ``edge_overflow``.
+
+    ``loss_space="delta"`` normalizes each step's relative L2 by the TRUE
+    per-step displacement (``||truth - prev_frame||``) instead of the
+    absolute coordinate norm. On slowly varying trajectories the absolute
+    form's gradient toward real dynamics is ~|delta|/|coords| (1e-4) of
+    its gradient toward the copy-last-frame baseline, so optimization
+    parks there — and in bf16 the useful signal sits below the compute
+    noise entirely (measured: bf16 ties the baseline, f32 beats it).
+    Delta space makes "predict the MOTION" the unit-scale objective.
+    "absolute" (default) is the reference's LpLoss objective
+    (graph_kernel.py:445-474)."""
     from molecular_dynamics_neural_operator_tpu.models import (
         GKNBatch,
         gkn_apply,
@@ -134,14 +146,22 @@ def curriculum_loss_batched(
     )
     weights = weights / jnp.sum(weights)
 
-    def rel(pred, truth):  # per-example relative L2 -> (B,)
+    if loss_space not in ("absolute", "delta"):
+        raise ValueError(f"loss_space must be 'absolute' or 'delta', "
+                         f"got {loss_space!r}")
+
+    def rel(pred, truth, prev):  # per-example relative L2 -> (B,)
         diff = jnp.sqrt(jnp.sum((pred - truth) ** 2, axis=(1, 2)))
-        denom = jnp.sqrt(jnp.sum(truth ** 2, axis=(1, 2)))
+        if loss_space == "delta":
+            denom = jnp.sqrt(jnp.sum((truth - prev) ** 2, axis=(1, 2)))
+            denom = jnp.maximum(denom, 1e-6)  # static-frame guard
+        else:
+            denom = jnp.sqrt(jnp.sum(truth ** 2, axis=(1, 2)))
         return diff / denom
 
     # Step 1: teacher-semantics stored graph.
     out = gkn_apply(params, cfg, gbatch)
-    loss_vec = weights[0] * rel(out, y_seq[:, 0])
+    loss_vec = weights[0] * rel(out, y_seq[:, 0], gbatch.window[:, -1])
     sq = jnp.sum((out - y_seq[:, 0]) ** 2, axis=(1, 2))
 
     overflow = jnp.zeros((), jnp.bool_)
@@ -166,7 +186,7 @@ def curriculum_loss_batched(
             )
             if coord_clip is not None:
                 out = jnp.clip(out, -coord_clip, coord_clip)
-            loss_vec = loss_vec + w * rel(out, y_t)
+            loss_vec = loss_vec + w * rel(out, y_t, frame)
             sq = sq + jnp.sum((out - y_t) ** 2, axis=(1, 2))
             new_window = jnp.concatenate([window[:, 1:], out[:, None]],
                                          axis=1)
@@ -191,6 +211,7 @@ def make_curriculum_train_step(
     step_weights: Optional[Sequence[float]] = None,
     graph_frame: str = "first",
     coord_clip: Optional[float] = None,
+    loss_space: str = "absolute",
 ):
     """Jitted (state, host_batch) -> (state, metrics). The host batch must
     carry ``y_seq`` (B, K, R, 3) (``WindowDataset.get_batch(...,
@@ -201,7 +222,7 @@ def make_curriculum_train_step(
         gbatch = featurize_batch(cfg, batch, graph_frame)
         return curriculum_loss_batched(
             params, cfg, gbatch, batch["y_seq"], threshold, step_weights,
-            coord_clip, return_overflow=True,
+            coord_clip, return_overflow=True, loss_space=loss_space,
         )
 
     @jax.jit

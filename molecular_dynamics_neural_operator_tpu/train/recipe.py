@@ -37,6 +37,7 @@ def train_curriculum_recipe(
     log_every: int = 200,
     log_prefix: str = "",
     min_warmup: int = 200,
+    loss_space: str = "absolute",
 ):
     """Train ``steps`` optimizer steps: the first ``warmup_frac`` fraction
     (at least ``min_warmup`` steps) teacher-forced (K=1), the rest with the
@@ -48,10 +49,12 @@ def train_curriculum_recipe(
         steps_per_epoch=max(1, len(train_indices) // tcfg.batch_size),
     )
     step_k1 = make_curriculum_train_step(
-        cfg, tx, rollout_steps=1, threshold=threshold, coord_clip=coord_clip
+        cfg, tx, rollout_steps=1, threshold=threshold,
+        coord_clip=coord_clip, loss_space=loss_space,
     )
     step_k = make_curriculum_train_step(
-        cfg, tx, rollout_steps=k, threshold=threshold, coord_clip=coord_clip
+        cfg, tx, rollout_steps=k, threshold=threshold,
+        coord_clip=coord_clip, loss_space=loss_space,
     )
     warmup = max(min_warmup, int(steps * warmup_frac))
 

@@ -53,6 +53,59 @@ def test_k1_matches_teacher_forced_gradient():
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_delta_loss_space_oracle():
+    """loss_space="delta" normalizes each step's error by the TRUE per-step
+    displacement. K=1 oracle: loss == sum_b ||pred - y|| / ||y - last||.
+    (On slowly varying data the absolute form's learning signal is ~1e-4 of
+    its baseline term, so training parks at copy-last-frame; delta space
+    makes the motion the unit-scale objective.)"""
+    import dataclasses
+
+    from molecular_dynamics_neural_operator_tpu.models import gkn_apply
+    from molecular_dynamics_neural_operator_tpu.train.curriculum import (
+        curriculum_loss_batched,
+    )
+    from molecular_dynamics_neural_operator_tpu.train.loop import (
+        featurize_batch,
+    )
+
+    cfg, tcfg, traj, ds = _setup()
+    state, tx, _ = create_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    batch = {k: jnp.asarray(v) for k, v in
+             ds.get_batch(np.arange(8), rollout_horizon=1).items()}
+    gbatch = featurize_batch(cfg, batch, "first")
+
+    loss_d, _ = curriculum_loss_batched(
+        state.params, cfg, gbatch, batch["y_seq"], loss_space="delta")
+    pred = gkn_apply(state.params, cfg, gbatch)
+    y = batch["y_seq"][:, 0]
+    last = gbatch.window[:, -1]
+    num = jnp.sqrt(jnp.sum((pred - y) ** 2, axis=(1, 2)))
+    den = jnp.maximum(
+        jnp.sqrt(jnp.sum((y - last) ** 2, axis=(1, 2))), 1e-6)
+    np.testing.assert_allclose(float(loss_d), float(jnp.sum(num / den)),
+                               rtol=1e-5)
+
+    # differs from absolute space, and K>1 delta training is finite
+    loss_a, _ = curriculum_loss_batched(
+        state.params, cfg, gbatch, batch["y_seq"], loss_space="absolute")
+    assert not np.allclose(float(loss_d), float(loss_a))
+
+    step = make_curriculum_train_step(cfg, tx, rollout_steps=3,
+                                      coord_clip=1000.0, loss_space="delta")
+    b3 = {k: jnp.asarray(v) for k, v in
+          ds.get_batch(np.arange(8), rollout_horizon=3).items()}
+    state2, m = step(state, b3)
+    assert np.isfinite(float(m["rel_l2"]))
+    # invalid space rejected
+    try:
+        curriculum_loss_batched(state.params, cfg, gbatch, batch["y_seq"],
+                                loss_space="bogus")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
 def test_k3_training_reduces_multistep_loss():
     cfg, tcfg, traj, ds = _setup()
     state, tx, _ = create_train_state(jax.random.PRNGKey(0), cfg, tcfg)

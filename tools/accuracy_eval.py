@@ -59,6 +59,8 @@ def main():
     p.add_argument("--scheduler_step", type=int, default=50,
                    help="StepLR decay interval in epochs of the train split")
     p.add_argument("--scheduler_gamma", type=float, default=0.8)
+    p.add_argument("--loss_space", choices=["absolute", "delta"],
+                   default="absolute")
     p.add_argument("--window_diff", action="store_true",
                    help="encode the window as [last frame ; scaled frame "
                         "diffs] so the LSTM sees velocities directly")
@@ -83,6 +85,7 @@ def main():
     state, train_seconds, last_loss = train_curriculum_recipe(
         cfg, tcfg, ds, tr_idx, steps=args.steps, k=args.k,
         warmup_frac=args.warmup_frac, coord_clip=cc, seed=args.seed,
+        loss_space=args.loss_space,
     )
 
     # --- evaluation: free rollout from the validation region
