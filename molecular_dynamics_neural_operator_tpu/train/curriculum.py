@@ -120,13 +120,20 @@ def curriculum_loss_batched(
     reports as ``edge_overflow``.
 
     ``loss_space="delta"`` normalizes each step's relative L2 by the TRUE
-    per-step displacement (``||truth - prev_frame||``) instead of the
-    absolute coordinate norm. On slowly varying trajectories the absolute
-    form's gradient toward real dynamics is ~|delta|/|coords| (1e-4) of
-    its gradient toward the copy-last-frame baseline, so optimization
-    parks there — and in bf16 the useful signal sits below the compute
-    noise entirely (measured: bf16 ties the baseline, f32 beats it).
-    Delta space makes "predict the MOTION" the unit-scale objective.
+    per-step displacement (``||y_t - y_{t-1}||`` between ground-truth
+    frames) instead of the absolute coordinate norm. On slowly varying
+    trajectories the absolute form's gradient toward real dynamics is
+    ~|delta|/|coords| (1e-4) of its gradient toward the copy-last-frame
+    baseline, so optimization parks there — and in bf16 the useful signal
+    sits below the compute noise entirely (measured: bf16 ties the
+    baseline, f32 beats it). Delta space makes "predict the MOTION" the
+    unit-scale objective. Stability (both measured divergence modes):
+    the denominator is ground-truth-only under ``stop_gradient`` — an
+    earlier formulation normalized free steps by ``||y_t - model_prev||``,
+    which shrinks exactly when the model tracks well (unbounded loss) and
+    rewards inflating earlier-step error (bigger later denominators) —
+    and near-static frames are floored at 10% of the batch-mean
+    displacement so noise-only examples cannot dominate the gradient.
     "absolute" (default) is the reference's LpLoss objective
     (graph_kernel.py:445-474)."""
     from molecular_dynamics_neural_operator_tpu.models import (
@@ -150,11 +157,16 @@ def curriculum_loss_batched(
         raise ValueError(f"loss_space must be 'absolute' or 'delta', "
                          f"got {loss_space!r}")
 
-    def rel(pred, truth, prev):  # per-example relative L2 -> (B,)
+    def rel(pred, truth, prev_true):  # per-example relative L2 -> (B,)
         diff = jnp.sqrt(jnp.sum((pred - truth) ** 2, axis=(1, 2)))
         if loss_space == "delta":
-            denom = jnp.sqrt(jnp.sum((truth - prev) ** 2, axis=(1, 2)))
-            denom = jnp.maximum(denom, 1e-6)  # static-frame guard
+            # prev_true is a GROUND-TRUTH frame; no gradient through the
+            # normalizer and no model dependence (see docstring).
+            denom = jax.lax.stop_gradient(
+                jnp.sqrt(jnp.sum((truth - prev_true) ** 2, axis=(1, 2)))
+            )
+            denom = jnp.maximum(denom, 0.1 * jnp.mean(denom))
+            denom = jnp.maximum(denom, 1e-6)  # all-static batch guard
         else:
             denom = jnp.sqrt(jnp.sum(truth ** 2, axis=(1, 2)))
         return diff / denom
@@ -173,7 +185,7 @@ def curriculum_loss_batched(
 
         def body(carry, inputs):
             window, loss_vec, sq, ovf = carry
-            y_t, w = inputs  # (B, R, 3), scalar
+            y_t, y_prev_true, w = inputs  # (B, R, 3) x2, scalar
             frame = window[:, -1]
             graph, ov = jax.vmap(
                 lambda f: _build_graph(cfg, f, threshold)
@@ -186,7 +198,7 @@ def curriculum_loss_batched(
             )
             if coord_clip is not None:
                 out = jnp.clip(out, -coord_clip, coord_clip)
-            loss_vec = loss_vec + w * rel(out, y_t, frame)
+            loss_vec = loss_vec + w * rel(out, y_t, y_prev_true)
             sq = sq + jnp.sum((out - y_t) ** 2, axis=(1, 2))
             new_window = jnp.concatenate([window[:, 1:], out[:, None]],
                                          axis=1)
@@ -194,7 +206,8 @@ def curriculum_loss_batched(
 
         y_steps = jnp.swapaxes(y_seq, 0, 1)  # (K, B, R, 3)
         (window, loss_vec, sq, overflow), _ = jax.lax.scan(
-            body, (window, loss_vec, sq, overflow), (y_steps[1:], weights[1:])
+            body, (window, loss_vec, sq, overflow),
+            (y_steps[1:], y_steps[:-1], weights[1:])
         )
     r3 = y_seq.shape[-2] * y_seq.shape[-1]
     loss, msem = jnp.sum(loss_vec), jnp.mean(sq / (k * r3))

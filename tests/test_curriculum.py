@@ -55,10 +55,11 @@ def test_k1_matches_teacher_forced_gradient():
 
 def test_delta_loss_space_oracle():
     """loss_space="delta" normalizes each step's error by the TRUE per-step
-    displacement. K=1 oracle: loss == sum_b ||pred - y|| / ||y - last||.
-    (On slowly varying data the absolute form's learning signal is ~1e-4 of
-    its baseline term, so training parks at copy-last-frame; delta space
-    makes the motion the unit-scale objective.)"""
+    displacement, floored at 10% of the batch-mean displacement, under
+    stop_gradient. K=1 oracle: loss == sum_b ||pred - y|| / floor(||y -
+    last||). (On slowly varying data the absolute form's learning signal is
+    ~1e-4 of its baseline term, so training parks at copy-last-frame; delta
+    space makes the motion the unit-scale objective.)"""
     import dataclasses
 
     from molecular_dynamics_neural_operator_tpu.models import gkn_apply
@@ -81,10 +82,29 @@ def test_delta_loss_space_oracle():
     y = batch["y_seq"][:, 0]
     last = gbatch.window[:, -1]
     num = jnp.sqrt(jnp.sum((pred - y) ** 2, axis=(1, 2)))
-    den = jnp.maximum(
-        jnp.sqrt(jnp.sum((y - last) ** 2, axis=(1, 2))), 1e-6)
+    den = jnp.sqrt(jnp.sum((y - last) ** 2, axis=(1, 2)))
+    den = jnp.maximum(jnp.maximum(den, 0.1 * jnp.mean(den)), 1e-6)
     np.testing.assert_allclose(float(loss_d), float(jnp.sum(num / den)),
                                rtol=1e-5)
+
+    # the normalizer carries no gradient: grads through the delta loss
+    # match grads of the same loss with the denominator held constant
+    def loss_fixed_den(params):
+        p = gkn_apply(params, cfg, gbatch)
+        n = jnp.sqrt(jnp.sum((p - y) ** 2, axis=(1, 2)))
+        return jnp.sum(n / den)
+
+    def loss_delta(params):
+        val, _ = curriculum_loss_batched(
+            params, cfg, gbatch, batch["y_seq"], loss_space="delta")
+        return val
+
+    g1 = jax.grad(loss_delta)(state.params)
+    g2 = jax.grad(loss_fixed_den)(state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
 
     # differs from absolute space, and K>1 delta training is finite
     loss_a, _ = curriculum_loss_batched(
