@@ -213,9 +213,13 @@ def make_sharded_curriculum_train_step(
     if cfg.train_conv_impl == "pallas":
         def loss(params, batch):
             gbatch = featurize_batch(cfg, batch, graph_frame)
+            # axis_name="data": inside the explicit shard_map the delta
+            # floor must pool over the GLOBAL batch (see
+            # curriculum_loss_batched docstring).
             return curriculum_loss_batched(
                 params, cfg, gbatch, batch["y_seq"], threshold,
                 step_weights, coord_clip, loss_space=loss_space,
+                axis_name="data",
             )
 
         return _make_shardmapped_step(cfg, tx, mesh, loss)

@@ -106,6 +106,7 @@ def curriculum_loss_batched(
     coord_clip: Optional[float] = None,
     return_overflow: bool = False,
     loss_space: str = "absolute",
+    axis_name: Optional[str] = None,
 ):
     """Whole-batch K-step curriculum loss: ONE scan over rollout steps with
     batched graph rebuild and the batched forward — so the Pallas training
@@ -135,7 +136,14 @@ def curriculum_loss_batched(
     and near-static frames are floored at 10% of the batch-mean
     displacement so noise-only examples cannot dominate the gradient.
     "absolute" (default) is the reference's LpLoss objective
-    (graph_kernel.py:445-474)."""
+    (graph_kernel.py:445-474).
+
+    ``axis_name``: set when this loss runs inside an explicit ``shard_map``
+    over a batch-sharded axis (the Pallas data-parallel route) so the delta
+    floor pools the displacement mean over the GLOBAL batch via ``pmean`` —
+    otherwise sharded training would floor against per-shard statistics and
+    diverge from the single-device objective. Under plain ``jit`` sharding
+    propagation, leave None (jnp.mean is already global)."""
     from molecular_dynamics_neural_operator_tpu.models import (
         GKNBatch,
         gkn_apply,
@@ -165,7 +173,10 @@ def curriculum_loss_batched(
             denom = jax.lax.stop_gradient(
                 jnp.sqrt(jnp.sum((truth - prev_true) ** 2, axis=(1, 2)))
             )
-            denom = jnp.maximum(denom, 0.1 * jnp.mean(denom))
+            pooled = jnp.mean(denom)
+            if axis_name is not None:
+                pooled = jax.lax.pmean(pooled, axis_name)
+            denom = jnp.maximum(denom, 0.1 * pooled)
             denom = jnp.maximum(denom, 1e-6)  # all-static batch guard
         else:
             denom = jnp.sqrt(jnp.sum(truth ** 2, axis=(1, 2)))
