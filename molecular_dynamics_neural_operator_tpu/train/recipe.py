@@ -72,6 +72,10 @@ def train_curriculum_recipe(
                 print(f"{log_prefix}step {seen}: loss {last_loss:.4f} "
                       f"(K={k_now}, {time.time() - t0:.0f}s)", flush=True)
             if seen >= steps:
+                # Always report the FINAL step's loss, even when the run
+                # is shorter than log_every (last_loss would stay None and
+                # crash callers that format it).
+                last_loss = float(m["rel_l2"])
                 break
             if k_now == 1 and seen >= warmup:
                 # Cross the warmup -> K boundary MID-epoch: the batch

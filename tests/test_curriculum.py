@@ -278,3 +278,10 @@ def test_recipe_k_switch_engages_mid_epoch(capsys):
     lines = [l for l in capsys.readouterr().out.splitlines() if "step " in l]
     ks = [l.split("(K=")[1].split(",")[0] for l in lines]
     assert ks[:2] == ["1", "1"] and set(ks[2:]) == {"3"}, ks
+
+    # runs shorter than log_every still report the final step's loss
+    # (None crashed every caller that formats the returned loss)
+    _, _, last_loss = train_curriculum_recipe(
+        cfg, tcfg, ds, np.arange(12), steps=3, k=1, warmup_frac=1.0,
+        min_warmup=1, log_every=100)
+    assert last_loss is not None and np.isfinite(last_loss)

@@ -45,7 +45,22 @@ def main():
     p.add_argument("--horizon", type=int, default=100)
     p.add_argument("--max_edges", type=int, default=224)
     p.add_argument("--steps", type=int, default=0,
-                   help="0 = exactly one epoch over the train split")
+                   help="0 = exactly --epochs epochs over the train split")
+    p.add_argument("--epochs", type=int, default=1,
+                   help="epochs to train when --steps is 0")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="bfloat16 = the fast recipe (reaches the copy-last "
+                        "baseline); float32 = the round-3 quality recipe "
+                        "(can beat it — the true per-step displacement "
+                        "sits below bf16 compute noise)")
+    p.add_argument("--train_conv_impl", default=None,
+                   choices=["xla", "pallas"],
+                   help="default: pallas for bfloat16, xla for float32")
+    p.add_argument("--scheduler_step", type=int, default=50,
+                   help="StepLR decay interval in EPOCHS of the train split")
+    p.add_argument("--scheduler_gamma", type=float, default=0.8)
+    p.add_argument("--warmup_frac", type=float, default=0.5)
     p.add_argument("--dt", type=float, default=2 * 3.141592653589793 / 4000,
                    help="synthetic-writer time step PER FRAME (scale-"
                         "invariant dynamics). The legacy writer spanned "
@@ -109,23 +124,34 @@ def main():
           f"({out['total_edges']:,} edges) in {out['ingest_seconds']}s, "
           f"RSS {out['ingest_rss_gb']} GB", flush=True)
 
-    cfg = ModelConfig(compute_dtype="bfloat16", graph_mode="sparse",
+    impl = args.train_conv_impl or (
+        "pallas" if args.dtype == "bfloat16" else "xla")
+    cfg = ModelConfig(compute_dtype=args.dtype, graph_mode="sparse",
                       max_edges=args.max_edges, predict_delta=True,
-                      train_conv_impl="pallas")
+                      train_conv_impl=impl)
     tcfg = TrainConfig(lr=args.lr, weight_decay=1e-6,
                        batch_size=args.batch, grad_clip_norm=0.5,
-                       skip_nonfinite_updates=True)
+                       skip_nonfinite_updates=True,
+                       scheduler_step=args.scheduler_step,
+                       scheduler_gamma=args.scheduler_gamma)
     ds = WindowDataset(traj, window_size=cfg.window_size,
                        graph_mode="sparse", max_edges=args.max_edges)
     tr_idx, va_idx = train_valid_split(len(ds), 0.8, "partition")
-    steps = args.steps or len(tr_idx) // args.batch
+    steps = args.steps or args.epochs * (len(tr_idx) // args.batch)
     out["train_windows"] = int(len(tr_idx))
     out["train_steps"] = int(steps)
+    out["recipe"] = {"dtype": args.dtype, "train_conv_impl": impl,
+                     "lr": args.lr, "epochs": args.epochs,
+                     "scheduler_step": args.scheduler_step,
+                     "scheduler_gamma": args.scheduler_gamma,
+                     "warmup_frac": args.warmup_frac, "k": args.k}
     print(f"{len(ds):,} windows; training {steps:,} steps of B={args.batch} "
-          f"= one epoch over the train split", flush=True)
+          f"= {args.epochs} epoch(s) over the train split "
+          f"({args.dtype}/{impl})", flush=True)
 
     state, seconds, last_loss = train_curriculum_recipe(
-        cfg, tcfg, ds, tr_idx, steps=steps, k=args.k, warmup_frac=0.5,
+        cfg, tcfg, ds, tr_idx, steps=steps, k=args.k,
+        warmup_frac=args.warmup_frac,
         coord_clip=1000.0, log_every=500, log_prefix="[epoch] ",
     )
     out["train_seconds"] = round(seconds, 1)
