@@ -45,6 +45,12 @@ def parse_args(argv=None):
                    default="none",
                    help="must match the training flag: checkpoints trained "
                         "with dh have a wider fc1")
+    p.add_argument("--window_diff", action="store_true",
+                   help="must match the training flag: the parameter tree "
+                        "is identical either way, so a mismatch is "
+                        "UNDETECTABLE at restore time and silently feeds "
+                        "the LSTM the wrong encoding")
+    p.add_argument("--window_diff_scale", type=float, default=100.0)
     p.add_argument("--clip", type=float, default=None)
     p.add_argument("--impl", choices=["scan", "persistent"], default="scan",
                    help="'persistent' = grid-over-steps Pallas kernel with "
@@ -97,6 +103,8 @@ def main(argv=None):
         compute_dtype=args.compute_dtype,
         predict_delta=args.predict_delta,
         electrostatics=args.electrostatics,
+        window_diff=args.window_diff,
+        window_diff_scale=args.window_diff_scale,
     )
     traj = load_trajectory(args.data_path)
 

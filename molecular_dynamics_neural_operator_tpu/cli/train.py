@@ -468,6 +468,16 @@ def main(argv=None):
         # shared divisibility guard; the sharded step factories build
         # their own put, so only the mesh/validation is reused here
         data_parallel_put(train_cfg.batch_size)
+    if train_cfg.loss_space != "absolute" and train_cfg.rollout_steps == 0:
+        # The teacher-forced steps implement only the reference LpLoss;
+        # accepting the flag and training a different objective than the
+        # logged config claims would be the silent-mismatch class the
+        # curriculum K guard exists for.
+        raise SystemExit(
+            f"--loss_space {train_cfg.loss_space} requires the curriculum "
+            f"path: pass --rollout_steps K >= 1 (K=1 is teacher-forced "
+            f"with the delta normalizer)"
+        )
     if train_cfg.rollout_steps > 0:
         from molecular_dynamics_neural_operator_tpu.train.curriculum import (
             make_curriculum_train_step,

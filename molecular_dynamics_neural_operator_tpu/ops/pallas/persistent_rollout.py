@@ -370,6 +370,11 @@ def persistent_rollout(
     """
     if not cfg.tie_edge_kernel:
         raise ValueError("persistent rollout requires tie_edge_kernel=True")
+    if getattr(cfg, "window_diff", False):
+        # The in-kernel LSTM consumes raw window frames; silently ignoring
+        # the velocity-form encoding would break parity with rollout_scan.
+        raise ValueError("persistent rollout does not implement "
+                         "window_diff=True — use impl='scan'")
     r = int(aa.shape[0])
     t_len, width, kw = cfg.window_size, cfg.width, cfg.ker_width
     e_cap = cfg.max_edges

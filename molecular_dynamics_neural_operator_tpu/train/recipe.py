@@ -9,6 +9,7 @@ drifting copies of the same loop.
 
 from __future__ import annotations
 
+import math
 import time
 
 import jax
@@ -38,12 +39,24 @@ def train_curriculum_recipe(
     log_prefix: str = "",
     min_warmup: int = 200,
     loss_space: str = "absolute",
+    divergence_limit: int = 4,
 ):
     """Train ``steps`` optimizer steps: the first ``warmup_frac`` fraction
     (at least ``min_warmup`` steps) teacher-forced (K=1), the rest with the
     K-step rollout-in-the-loss — the warmup -> K switch happens exactly at
     the step boundary, mid-epoch if needed. Returns
-    (state, seconds, last_logged_loss)."""
+    (state, seconds, last_logged_loss).
+
+    ``divergence_limit``: stop early once this many CONSECUTIVE ``log_every``
+    checkpoints report a non-finite loss. ``skip_nonfinite_updates``
+    freezes the params on a bad gradient, but once they have drifted into
+    a region where every K-step unroll overflows, no later batch can
+    recover — observed on a full-scale f32 lr=1e-3 campaign that burned
+    17,000 steps of chip time producing NaN after step 4,000. Checked only
+    at the existing log reads (a per-step device read would cost ~0.4 s
+    each over the dev tunnel). Raises RuntimeError naming the first bad
+    log so the recipe (lr, clip) gets fixed instead of the artifact
+    silently reporting a dead run. 0 disables."""
     state, tx, _ = create_train_state(
         jax.random.PRNGKey(seed), cfg, tcfg,
         steps_per_epoch=max(1, len(train_indices) // tcfg.batch_size),
@@ -60,6 +73,7 @@ def train_curriculum_recipe(
 
     t0 = time.time()
     seen, epoch, last_loss = 0, 0, None
+    bad_logs, first_bad = 0, None
     while seen < steps:
         k_now = 1 if seen < warmup else k
         for batch in batch_iterator(dataset, train_indices, tcfg.batch_size,
@@ -71,6 +85,23 @@ def train_curriculum_recipe(
                 last_loss = float(m["rel_l2"])
                 print(f"{log_prefix}step {seen}: loss {last_loss:.4f} "
                       f"(K={k_now}, {time.time() - t0:.0f}s)", flush=True)
+                if divergence_limit:
+                    if math.isfinite(last_loss):
+                        bad_logs, first_bad = 0, None
+                    else:
+                        bad_logs += 1
+                        if first_bad is None:
+                            first_bad = seen
+                        if bad_logs >= divergence_limit:
+                            raise RuntimeError(
+                                f"training diverged: the logged loss has "
+                                f"been non-finite for {bad_logs} "
+                                f"consecutive checkpoints (since step "
+                                f"<= {first_bad}); params frozen by "
+                                f"skip_nonfinite_updates cannot recover "
+                                f"— lower the lr or tighten grad/coord "
+                                f"clipping"
+                            )
             if seen >= steps:
                 # Always report the FINAL step's loss, even when the run
                 # is shorter than log_every (last_loss would stay None and

@@ -67,7 +67,11 @@ def degenerate_latents_reason(latents: np.ndarray) -> Optional[str]:
     """
     if not np.isfinite(latents).all():
         return "non-finite values"
-    if float(np.ptp(latents)) == 0.0:
+    # Variance must exist ACROSS FRAMES: a collapsed model that emits the
+    # same non-constant vector for every frame has nonzero global ptp but
+    # zero per-feature spread — PCA then yields all-zero columns and
+    # t-SNE's init-normalization still divides by 0.
+    if float(np.ptp(latents, axis=0).max()) == 0.0:
         return "zero variance (all frames identical)"
     return None
 

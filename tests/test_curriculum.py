@@ -285,3 +285,19 @@ def test_recipe_k_switch_engages_mid_epoch(capsys):
         cfg, tcfg, ds, np.arange(12), steps=3, k=1, warmup_frac=1.0,
         min_warmup=1, log_every=100)
     assert last_loss is not None and np.isfinite(last_loss)
+
+    # a run whose logged loss stays non-finite must ABORT, not burn the
+    # remaining step budget doing nothing (params frozen by
+    # skip_nonfinite_updates cannot recover once every unroll overflows)
+    import dataclasses
+
+    import pytest
+
+    tcfg_div = dataclasses.replace(tcfg, lr=1e20,
+                                   skip_nonfinite_updates=False,
+                                   grad_clip_norm=0.0)
+    with pytest.raises(RuntimeError, match="diverged"):
+        train_curriculum_recipe(
+            cfg, tcfg_div, ds, np.arange(12), steps=30, k=1,
+            warmup_frac=1.0, min_warmup=1, log_every=2,
+            divergence_limit=3)

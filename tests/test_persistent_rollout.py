@@ -121,6 +121,21 @@ def test_persistent_matches_scan_beyond_48_residues():
     assert bool(diags["edge_overflow"]) == bool(ref_diags["edge_overflow"])
 
 
+def test_persistent_rejects_window_diff():
+    """The in-kernel LSTM consumes raw window frames; window_diff configs
+    must be rejected up front, not silently rolled out with the wrong
+    encoder (parity with rollout_scan would break undetectably)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(_cfg(), window_diff=True)
+    params = gkn_init(jax.random.PRNGKey(0), cfg)
+    traj = synthetic_trajectory(num_frames=6, num_residues=12, seed=5)
+    with pytest.raises(ValueError, match="window_diff"):
+        persistent_rollout(params, cfg, jnp.asarray(traj.aminoacids),
+                           jnp.asarray(traj.positions[:4]), 2,
+                           interpret=True)
+
+
 def test_persistent_vmem_budget_guard():
     """Configurations whose working set cannot fit VMEM raise up front."""
     cfg = _cfg(num_residues=28, max_edges=8192, width=128, ker_width=1024)

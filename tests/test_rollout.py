@@ -142,6 +142,31 @@ def test_scatter_mode_blocked_does_not_leak_into_rebuilds(setup):
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
 
+def test_copy_last_baseline_oracle(setup):
+    """The shared honesty-bar helper == the inline numpy computation the
+    accuracy tools previously carried as drifting copies."""
+    from molecular_dynamics_neural_operator_tpu.geometry import contact_map
+    from molecular_dynamics_neural_operator_tpu.rollout.baseline import (
+        copy_last_baseline,
+    )
+
+    cfg, params, traj, aa, w0 = setup
+    truth = traj.positions[4:12]
+    mse, acc = copy_last_baseline(w0[-1], truth, 8.0)
+    assert mse.shape == acc.shape == (8,)
+
+    frozen = np.asarray(w0[-1])
+    np.testing.assert_allclose(
+        mse, np.mean((frozen[None] - truth) ** 2, axis=(1, 2)), rtol=1e-6)
+    cm_frozen = np.asarray(contact_map(jnp.asarray(frozen[None]), 8.0))
+    cm_true = np.asarray(contact_map(jnp.asarray(truth), 8.0))
+    np.testing.assert_allclose(
+        acc, np.mean(cm_frozen == cm_true, axis=(1, 2)))
+    # step-0 truth IS within float noise of the frozen frame's successor:
+    # accuracy must be in [0, 1] and the frozen frame's own map perfect
+    assert np.all((0.0 <= acc) & (acc <= 1.0))
+
+
 def test_rebuilt_scatter_hint_choices():
     from molecular_dynamics_neural_operator_tpu.rollout.scan import (
         rebuilt_scatter_hint,

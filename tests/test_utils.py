@@ -155,13 +155,20 @@ def test_latent_degenerate_input_is_skipped_not_fatal(tmp_path):
 
     nan_latents = np.full((40, 8), np.nan, np.float32)
     const_latents = np.ones((40, 8), np.float32)
+    # every FRAME identical but features differ: global ptp is nonzero yet
+    # PCA columns are exactly zero-variance — the t-SNE init still
+    # divides by 0 (the collapsed-model case the whole-array check missed)
+    tiled_latents = np.tile(
+        np.arange(8, dtype=np.float32)[None], (40, 1))
     ok_latents = np.random.default_rng(0).normal(size=(40, 8)).astype(
         np.float32)
     assert degenerate_latents_reason(nan_latents) is not None
     assert degenerate_latents_reason(const_latents) is not None
+    assert degenerate_latents_reason(tiled_latents) is not None
     assert degenerate_latents_reason(ok_latents) is None
     assert tsne_embed(nan_latents) is None
     assert tsne_embed(const_latents) is None
+    assert tsne_embed(tiled_latents) is None
     for bad in (nan_latents, const_latents):
         for method in ("PCA", "TSNE"):
             paths = log_latent_visualization(

@@ -123,11 +123,11 @@ def main():
     # varying trajectories the frozen last window frame scores high contact
     # accuracy with NO model at all; a result only means learning if it
     # beats these numbers.
-    frozen = np.asarray(w0[-1])
-    truth_np = np.asarray(truth)
-    base_mse = np.mean((frozen[None] - truth_np) ** 2, axis=(1, 2))
-    cm_frozen = np.asarray(contact_map(jnp.asarray(frozen[None]), 8.0))
-    base_acc = np.mean(cm_frozen == cm_true, axis=(1, 2))
+    from molecular_dynamics_neural_operator_tpu.rollout.baseline import (
+        copy_last_baseline,
+    )
+
+    base_mse, base_acc = copy_last_baseline(w0[-1], truth, 8.0)
     out["baseline_copy_last"] = {
         "coord_mse": {"step1": float(base_mse[0]),
                       "step10": float(base_mse[min(9, len(base_mse)-1)]),
@@ -136,8 +136,9 @@ def main():
     }
     fin = int(out["rollout_finite_steps"])
     out["model_over_baseline_mse"] = {
-        # <1 means the model beats copy-last-frame at that horizon
-        "step1": float(mses[0] / base_mse[0]),
+        # <1 means the model beats copy-last-frame at that horizon; None
+        # where the rollout went non-finite first (bare NaN is not JSON)
+        "step1": float(mses[0] / base_mse[0]) if fin >= 1 else None,
         "step10": float(mses[min(9, fin-1)] / base_mse[min(9, fin-1)])
         if fin >= 10 else None,
         "step100": float(mses[min(99, fin-1)] / base_mse[min(99, fin-1)])

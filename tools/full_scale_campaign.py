@@ -111,8 +111,18 @@ def main():
         )
         out["write_seconds"] = round(time.time() - t0, 1)
         out["file_bytes"] = info["file_bytes"]
+        out["write_dt"] = args.dt
         print(f"wrote {info['file_bytes'] / 1e9:.2f} GB in "
               f"{out['write_seconds']}s", flush=True)
+    else:
+        # --dt only applies at write time; a stale file written by the
+        # legacy whole-file-span writer is numerically static and hands
+        # the honesty gate to copy-last. Record the reuse so the artifact
+        # cannot masquerade as a fresh scale-invariant run.
+        out["data_file_reused"] = str(args.data)
+        print(f"REUSING existing {args.data} — --dt is not applied; "
+              f"delete the file to regenerate with the requested motion "
+              f"scale", flush=True)
 
     t0 = time.time()
     traj = load_trajectory(args.data)
@@ -186,11 +196,11 @@ def main():
     # Honesty gate: the model must BEAT the copy-last-frame (zero-delta)
     # baseline, or the contact-accuracy figure above says nothing about
     # learning (a near-static trajectory hands the baseline ~100% too).
-    frozen = np.asarray(w0[-1])
-    truth_np = np.asarray(truth)
-    base_mses = np.mean((frozen[None] - truth_np) ** 2, axis=(1, 2))
-    cm_frozen = np.asarray(contact_map(jnp.asarray(frozen[None]), 8.0))
-    base_acc = np.mean(cm_frozen == cm_true, axis=(1, 2))
+    from molecular_dynamics_neural_operator_tpu.rollout.baseline import (
+        copy_last_baseline,
+    )
+
+    base_mses, base_acc = copy_last_baseline(w0[-1], truth, 8.0)
     out["baseline_copy_last_mse_step1"] = float(base_mses[0])
     out["baseline_copy_last_mse_step100"] = float(
         base_mses[min(99, len(base_mses) - 1)])
