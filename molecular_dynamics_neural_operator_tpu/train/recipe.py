@@ -40,6 +40,8 @@ def train_curriculum_recipe(
     min_warmup: int = 200,
     loss_space: str = "absolute",
     divergence_limit: int = 4,
+    on_divergence: str = "abort",
+    max_backoffs: int = 2,
 ):
     """Train ``steps`` optimizer steps: the first ``warmup_frac`` fraction
     (at least ``min_warmup`` steps) teacher-forced (K=1), the rest with the
@@ -54,21 +56,40 @@ def train_curriculum_recipe(
     recover — observed on a full-scale f32 lr=1e-3 campaign that burned
     17,000 steps of chip time producing NaN after step 4,000. Checked only
     at the existing log reads (a per-step device read would cost ~0.4 s
-    each over the dev tunnel). Raises RuntimeError naming the first bad
-    log so the recipe (lr, clip) gets fixed instead of the artifact
-    silently reporting a dead run. 0 disables."""
-    state, tx, _ = create_train_state(
-        jax.random.PRNGKey(seed), cfg, tcfg,
-        steps_per_epoch=max(1, len(train_indices) // tcfg.batch_size),
-    )
-    step_k1 = make_curriculum_train_step(
-        cfg, tx, rollout_steps=1, threshold=threshold,
-        coord_clip=coord_clip, loss_space=loss_space,
-    )
-    step_k = make_curriculum_train_step(
-        cfg, tx, rollout_steps=k, threshold=threshold,
-        coord_clip=coord_clip, loss_space=loss_space,
-    )
+    each over the dev tunnel). What happens then is ``on_divergence``:
+
+    - ``"abort"`` (default): raise RuntimeError naming the first bad log
+      so the recipe (lr, clip) gets fixed instead of the artifact
+      silently reporting a dead run.
+    - ``"backoff"``: self-heal — restore the last params that produced a
+      finite logged loss, halve the learning rate (fresh optimizer state;
+      the StepLR schedule restarts), and continue from the same step
+      count. At most ``max_backoffs`` recoveries, then abort as above.
+      Each recovery re-jits the step functions (minutes over the dev
+      tunnel) — expensive, but strictly cheaper than a dead campaign.
+
+    ``divergence_limit=0`` disables both."""
+    import dataclasses
+
+    lr_scale, backoffs = 1.0, 0
+
+    def build(tcfg_eff):
+        state, tx, _ = create_train_state(
+            jax.random.PRNGKey(seed), cfg, tcfg_eff,
+            steps_per_epoch=max(1, len(train_indices) // tcfg.batch_size),
+        )
+        step_k1 = make_curriculum_train_step(
+            cfg, tx, rollout_steps=1, threshold=threshold,
+            coord_clip=coord_clip, loss_space=loss_space,
+        )
+        step_k = make_curriculum_train_step(
+            cfg, tx, rollout_steps=k, threshold=threshold,
+            coord_clip=coord_clip, loss_space=loss_space,
+        )
+        return state, step_k1, step_k
+
+    state, step_k1, step_k = build(tcfg)
+    good_params = state.params
     warmup = max(min_warmup, int(steps * warmup_frac))
 
     t0 = time.time()
@@ -88,11 +109,30 @@ def train_curriculum_recipe(
                 if divergence_limit:
                     if math.isfinite(last_loss):
                         bad_logs, first_bad = 0, None
+                        good_params = state.params
                     else:
                         bad_logs += 1
                         if first_bad is None:
                             first_bad = seen
                         if bad_logs >= divergence_limit:
+                            if (on_divergence == "backoff"
+                                    and backoffs < max_backoffs):
+                                backoffs += 1
+                                lr_scale *= 0.5
+                                print(
+                                    f"{log_prefix}DIVERGED at step "
+                                    f"<= {first_bad}: restoring last-good "
+                                    f"params, lr x{lr_scale} "
+                                    f"(backoff {backoffs}/{max_backoffs})",
+                                    flush=True,
+                                )
+                                state, step_k1, step_k = build(
+                                    dataclasses.replace(
+                                        tcfg, lr=tcfg.lr * lr_scale)
+                                )
+                                state = state._replace(params=good_params)
+                                bad_logs, first_bad = 0, None
+                                break  # fresh epoch iterator
                             raise RuntimeError(
                                 f"training diverged: the logged loss has "
                                 f"been non-finite for {bad_logs} "

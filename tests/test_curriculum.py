@@ -301,3 +301,16 @@ def test_recipe_k_switch_engages_mid_epoch(capsys):
             cfg, tcfg_div, ds, np.arange(12), steps=30, k=1,
             warmup_frac=1.0, min_warmup=1, log_every=2,
             divergence_limit=3)
+
+    # on_divergence="backoff" restores the last-good params and halves
+    # the lr before giving up: with an lr so large even the halved rates
+    # diverge, the recovery messages appear max_backoffs times and THEN
+    # the abort fires
+    with pytest.raises(RuntimeError, match="diverged"):
+        train_curriculum_recipe(
+            cfg, tcfg_div, ds, np.arange(12), steps=200, k=1,
+            warmup_frac=1.0, min_warmup=1, log_every=2,
+            divergence_limit=3, on_divergence="backoff", max_backoffs=2)
+    msgs = [l for l in capsys.readouterr().out.splitlines()
+            if "DIVERGED" in l]
+    assert len(msgs) == 2 and "backoff 2/2" in msgs[-1]
