@@ -42,6 +42,7 @@ def train_curriculum_recipe(
     divergence_limit: int = 4,
     on_divergence: str = "abort",
     max_backoffs: int = 2,
+    explosion_factor: float = 1e4,
 ):
     """Train ``steps`` optimizer steps: the first ``warmup_frac`` fraction
     (at least ``min_warmup`` steps) teacher-forced (K=1), the rest with the
@@ -50,13 +51,17 @@ def train_curriculum_recipe(
     (state, seconds, last_logged_loss).
 
     ``divergence_limit``: stop early once this many CONSECUTIVE ``log_every``
-    checkpoints report a non-finite loss. ``skip_nonfinite_updates``
-    freezes the params on a bad gradient, but once they have drifted into
-    a region where every K-step unroll overflows, no later batch can
-    recover — observed on a full-scale f32 lr=1e-3 campaign that burned
-    17,000 steps of chip time producing NaN after step 4,000. Checked only
-    at the existing log reads (a per-step device read would cost ~0.4 s
-    each over the dev tunnel). What happens then is ``on_divergence``:
+    checkpoints report a BAD loss — non-finite, or finite but more than
+    ``explosion_factor`` times the best loss logged so far (the coord-clip
+    rail keeps an exploded unroll finite: a full-scale f32 lr=5e-4 run sat
+    at loss ~1.4e11 for thousands of steps without a single NaN).
+    ``skip_nonfinite_updates`` freezes the params on a bad gradient, but
+    once they have drifted into a region where every K-step unroll
+    overflows, no later batch can recover — observed on a full-scale f32
+    lr=1e-3 campaign that burned 17,000 steps of chip time producing NaN
+    after step 4,000. Checked only at the existing log reads (a per-step
+    device read would cost ~0.4 s each over the dev tunnel). What happens
+    then is ``on_divergence``:
 
     - ``"abort"`` (default): raise RuntimeError naming the first bad log
       so the recipe (lr, clip) gets fixed instead of the artifact
@@ -94,7 +99,7 @@ def train_curriculum_recipe(
 
     t0 = time.time()
     seen, epoch, last_loss = 0, 0, None
-    bad_logs, first_bad = 0, None
+    bad_logs, first_bad, best_loss = 0, None, None
     while seen < steps:
         k_now = 1 if seen < warmup else k
         for batch in batch_iterator(dataset, train_indices, tcfg.batch_size,
@@ -107,9 +112,16 @@ def train_curriculum_recipe(
                 print(f"{log_prefix}step {seen}: loss {last_loss:.4f} "
                       f"(K={k_now}, {time.time() - t0:.0f}s)", flush=True)
                 if divergence_limit:
-                    if math.isfinite(last_loss):
+                    exploded = (
+                        best_loss is not None
+                        and last_loss > explosion_factor
+                        * max(best_loss, 1e-30)
+                    )
+                    if math.isfinite(last_loss) and not exploded:
                         bad_logs, first_bad = 0, None
                         good_params = state.params
+                        best_loss = (last_loss if best_loss is None
+                                     else min(best_loss, last_loss))
                     else:
                         bad_logs += 1
                         if first_bad is None:
@@ -135,11 +147,11 @@ def train_curriculum_recipe(
                                 break  # fresh epoch iterator
                             raise RuntimeError(
                                 f"training diverged: the logged loss has "
-                                f"been non-finite for {bad_logs} "
-                                f"consecutive checkpoints (since step "
-                                f"<= {first_bad}); params frozen by "
-                                f"skip_nonfinite_updates cannot recover "
-                                f"— lower the lr or tighten grad/coord "
+                                f"been non-finite or exploded (>{
+                                explosion_factor:g}x the best logged "
+                                f"loss) for {bad_logs} consecutive "
+                                f"checkpoints (since step <= {first_bad})"
+                                f" — lower the lr or tighten grad/coord "
                                 f"clipping"
                             )
             if seen >= steps:

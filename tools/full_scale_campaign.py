@@ -163,6 +163,9 @@ def main():
         cfg, tcfg, ds, tr_idx, steps=steps, k=args.k,
         warmup_frac=args.warmup_frac,
         coord_clip=1000.0, log_every=500, log_prefix="[epoch] ",
+        # hours-long runs self-heal from a divergence (restore last-good
+        # params, halve lr) instead of burning the budget or aborting
+        on_divergence="backoff",
     )
     out["train_seconds"] = round(seconds, 1)
     out["samples_per_sec"] = round(steps * args.batch / seconds, 1)
