@@ -67,6 +67,11 @@ def parse_args(argv=None):
                         "displacement (makes learning the motion the "
                         "unit-scale objective; 'absolute' is the "
                         "reference's LpLoss on coordinates)")
+    p.add_argument("--grad_steps", type=int, default=0,
+                   help="supervise only the last j curriculum steps "
+                        "(burn-in rollout + truncated backprop: K "
+                        "forwards but j backwards; 0 = full BPTT "
+                        "through all K steps)")
     p.add_argument("--coord_clip", type=float, default=1000.0,
                    help="clip rail on the curriculum's inner rollout "
                         "coordinates (0 disables; essential for bf16 "
@@ -341,7 +346,8 @@ def _main_fno(args, data_cfg, train_cfg):
         va_loss = va_loss / n if n else float("nan")
 
         extra = {}
-        if train_cfg.generate_movie and epoch % train_cfg.plot_per_epochs == 0:
+        if (train_cfg.generate_movie and train_cfg.plot_per_epochs > 0
+                and epoch % train_cfg.plot_per_epochs == 0):
             ch0 = distance_matrix_channels(
                 jnp.asarray(traj.positions[va_idx[0] : va_idx[0]
                                            + args.window_size])
@@ -484,6 +490,7 @@ def main(argv=None):
         )
 
         coord_clip = args.coord_clip if args.coord_clip > 0 else None
+        grad_steps = args.grad_steps if args.grad_steps > 0 else None
         if data_parallel:
             from molecular_dynamics_neural_operator_tpu.parallel import (
                 make_sharded_curriculum_train_step,
@@ -493,7 +500,7 @@ def main(argv=None):
             train_step, put = make_sharded_curriculum_train_step(
                 model_cfg, tx, mesh, rollout_steps=train_cfg.rollout_steps,
                 threshold=data_cfg.threshold, coord_clip=coord_clip,
-                loss_space=train_cfg.loss_space,
+                loss_space=train_cfg.loss_space, grad_steps=grad_steps,
             )
             print(f"Data-parallel curriculum: batch sharded over "
                   f"{mesh.shape['data']} devices")
@@ -501,12 +508,13 @@ def main(argv=None):
             train_step = make_curriculum_train_step(
                 model_cfg, tx, rollout_steps=train_cfg.rollout_steps,
                 threshold=data_cfg.threshold, coord_clip=coord_clip,
-                loss_space=train_cfg.loss_space,
+                loss_space=train_cfg.loss_space, grad_steps=grad_steps,
             )
         print(f"Curriculum training: K={train_cfg.rollout_steps} rollout "
               f"steps in the loss (grad_clip={train_cfg.grad_clip_norm}, "
               f"skip_nonfinite={train_cfg.skip_nonfinite_updates}, "
-              f"coord_clip={coord_clip})")
+              f"coord_clip={coord_clip}, grad_steps="
+              f"{grad_steps or train_cfg.rollout_steps})")
     elif data_parallel:
         mesh = make_mesh()
         train_step, put = make_sharded_train_step(model_cfg, tx, mesh)
@@ -563,14 +571,16 @@ def main(argv=None):
             "examples_per_sec": train_m["examples_per_sec"],
         }
 
-        if train_cfg.generate_movie and epoch % train_cfg.plot_per_epochs == 0:
+        if (train_cfg.generate_movie and train_cfg.plot_per_epochs > 0
+                and epoch % train_cfg.plot_per_epochs == 0):
             movie = make_propagation_movie(
                 state.params, model_cfg, dataset, run_dir, epoch,
                 [int(va_idx[0] + s) for s in starting_points],
                 num_steps=train_cfg.num_movie_frames,
             )
             extra["movie"] = str(movie)
-        if train_cfg.plot_latent and epoch % train_cfg.plot_per_epochs == 0:
+        if (train_cfg.plot_latent and train_cfg.plot_per_epochs > 0
+                and epoch % train_cfg.plot_per_epochs == 0):
             n_lat = min(train_cfg.latent_frames, len(va_idx))
             latents = collect_latents(
                 state.params, model_cfg, dataset, int(va_idx[0]), n_lat

@@ -186,6 +186,7 @@ def make_sharded_curriculum_train_step(
     graph_frame: str = "first",
     coord_clip=None,
     loss_space: str = "absolute",
+    grad_steps=None,
 ):
     """Data-parallel K-step rollout-curriculum training step — the flagship
     recipe (tools/accuracy_eval.py) on many chips.
@@ -219,7 +220,7 @@ def make_sharded_curriculum_train_step(
             return curriculum_loss_batched(
                 params, cfg, gbatch, batch["y_seq"], threshold,
                 step_weights, coord_clip, loss_space=loss_space,
-                axis_name="data",
+                axis_name="data", grad_steps=grad_steps,
             )
 
         return _make_shardmapped_step(cfg, tx, mesh, loss)
@@ -228,6 +229,7 @@ def make_sharded_curriculum_train_step(
         cfg, tx, rollout_steps=rollout_steps, threshold=threshold,
         step_weights=step_weights, graph_frame=graph_frame,
         coord_clip=coord_clip, loss_space=loss_space,
+        grad_steps=grad_steps,
     )
 
     def put(host_batch: dict) -> dict:

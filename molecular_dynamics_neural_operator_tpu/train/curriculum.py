@@ -107,12 +107,28 @@ def curriculum_loss_batched(
     return_overflow: bool = False,
     loss_space: str = "absolute",
     axis_name: Optional[str] = None,
+    grad_steps: Optional[int] = None,
 ):
     """Whole-batch K-step curriculum loss: ONE scan over rollout steps with
     batched graph rebuild and the batched forward — so the Pallas training
     conv stack (train_conv_impl="pallas") applies inside the curriculum
     too, where the vmapped per-example formulation could not route to it.
     Same math as ``curriculum_loss_single`` summed over the batch.
+
+    ``grad_steps=j`` (1 <= j <= K, default K) supervises only the LAST j
+    rollout steps: the first K-j steps are a free-running BURN-IN — the
+    model rolls forward on its own predictions (the exposure the
+    curriculum exists for) but contributes no loss, and the window handed
+    to the supervised span is ``stop_gradient``-detached, so XLA skips
+    the burn-in steps' entire backward pass. This is the
+    scheduled-sampling credit-assignment model (model-generated inputs,
+    no backprop through the generation); the full-BPTT default
+    additionally differentiates the rebuild->forward chain across steps.
+    Cost: K forwards + j backwards instead of K of each — the backward
+    dominates the step (docs/PERFORMANCE.md training anatomy), so
+    ``grad_steps=1`` cuts a K=4 curriculum step toward the teacher-forced
+    rate while keeping the K-step exposure. Accuracy is recipe-dependent:
+    gate it with tools/accuracy_eval.py before adopting.
 
     y_seq: (B, K, R, 3). Returns (summed loss, mean mse), or with
     ``return_overflow`` (summed loss, (mean mse, overflow)) where overflow
@@ -154,11 +170,20 @@ def curriculum_loss_batched(
     )
 
     b, k = y_seq.shape[0], y_seq.shape[1]
+    j = k if grad_steps is None else int(grad_steps)
+    if not 1 <= j <= k:
+        raise ValueError(
+            f"grad_steps must be in [1, K={k}], got {grad_steps}")
+    burn = k - j  # leading steps that are exposure-only (no loss/grads)
     weights = (
         jnp.asarray(step_weights, jnp.float32)
         if step_weights is not None
-        else jnp.ones((k,), jnp.float32)
+        else jnp.ones((j,), jnp.float32)
     )
+    if weights.shape != (j,):
+        raise ValueError(
+            f"step_weights must have one weight per SUPERVISED step "
+            f"(grad_steps={j}), got shape {weights.shape}")
     weights = weights / jnp.sum(weights)
 
     if loss_space not in ("absolute", "delta"):
@@ -182,9 +207,13 @@ def curriculum_loss_batched(
             denom = jnp.sqrt(jnp.sum(truth ** 2, axis=(1, 2)))
         return diff / denom
 
-    # Step 1: teacher-semantics stored graph.
+    # Step 1: teacher-semantics stored graph. Supervised only when the
+    # whole horizon is (burn == 0) — otherwise it opens the burn-in.
     out = gkn_apply(params, cfg, gbatch)
-    loss_vec = weights[0] * rel(out, y_seq[:, 0], gbatch.window[:, -1])
+    if burn == 0:
+        loss_vec = weights[0] * rel(out, y_seq[:, 0], gbatch.window[:, -1])
+    else:
+        loss_vec = jnp.zeros((b,), jnp.float32)
     sq = jnp.sum((out - y_seq[:, 0]) ** 2, axis=(1, 2))
 
     overflow = jnp.zeros((), jnp.bool_)
@@ -194,9 +223,7 @@ def curriculum_loss_batched(
         window = jnp.concatenate([gbatch.window[:, 1:], out[:, None]],
                                  axis=1)
 
-        def body(carry, inputs):
-            window, loss_vec, sq, ovf = carry
-            y_t, y_prev_true, w = inputs  # (B, R, 3) x2, scalar
+        def free_step(window, y_t):
             frame = window[:, -1]
             graph, ov = jax.vmap(
                 lambda f: _build_graph(cfg, f, threshold)
@@ -209,16 +236,40 @@ def curriculum_loss_batched(
             )
             if coord_clip is not None:
                 out = jnp.clip(out, -coord_clip, coord_clip)
-            loss_vec = loss_vec + w * rel(out, y_t, y_prev_true)
-            sq = sq + jnp.sum((out - y_t) ** 2, axis=(1, 2))
             new_window = jnp.concatenate([window[:, 1:], out[:, None]],
                                          axis=1)
-            return (new_window, loss_vec, sq, ovf | jnp.any(ov)), None
+            return new_window, out, jnp.any(ov)
+
+        def sup_body(carry, inputs):
+            window, loss_vec, sq, ovf = carry
+            y_t, y_prev_true, w = inputs  # (B, R, 3) x2, scalar
+            new_window, out, ov = free_step(window, y_t)
+            loss_vec = loss_vec + w * rel(out, y_t, y_prev_true)
+            sq = sq + jnp.sum((out - y_t) ** 2, axis=(1, 2))
+            return (new_window, loss_vec, sq, ovf | ov), None
+
+        def burn_body(carry, inputs):
+            window, sq, ovf = carry
+            (y_t,) = inputs
+            new_window, out, ov = free_step(window, y_t)
+            sq = sq + jnp.sum((out - y_t) ** 2, axis=(1, 2))
+            return (new_window, sq, ovf | ov), None
 
         y_steps = jnp.swapaxes(y_seq, 0, 1)  # (K, B, R, 3)
+        if burn > 1:
+            (window, sq, overflow), _ = jax.lax.scan(
+                burn_body, (window, sq, overflow), (y_steps[1:burn],)
+            )
+        if burn > 0:
+            # The supervised span sees the burn-in rollout as DATA: no
+            # cotangent enters the burn-in scan, so its backward never
+            # runs (that is the entire cost saving).
+            window = jax.lax.stop_gradient(window)
+        sup_weights = weights if burn > 0 else weights[1:]
+        first_sup = max(burn, 1)  # y_steps index of the first free sup step
         (window, loss_vec, sq, overflow), _ = jax.lax.scan(
-            body, (window, loss_vec, sq, overflow),
-            (y_steps[1:], y_steps[:-1], weights[1:])
+            sup_body, (window, loss_vec, sq, overflow),
+            (y_steps[first_sup:], y_steps[first_sup - 1:-1], sup_weights)
         )
     r3 = y_seq.shape[-2] * y_seq.shape[-1]
     loss, msem = jnp.sum(loss_vec), jnp.mean(sq / (k * r3))
@@ -236,17 +287,25 @@ def make_curriculum_train_step(
     graph_frame: str = "first",
     coord_clip: Optional[float] = None,
     loss_space: str = "absolute",
+    grad_steps: Optional[int] = None,
 ):
     """Jitted (state, host_batch) -> (state, metrics). The host batch must
     carry ``y_seq`` (B, K, R, 3) (``WindowDataset.get_batch(...,
     rollout_horizon=K)``). ``coord_clip`` bounds the inner free-rollout
-    coordinates (essential for bf16 curriculum stability)."""
+    coordinates (essential for bf16 curriculum stability). ``grad_steps``
+    supervises only the last j rollout steps (burn-in + truncated
+    backprop — see ``curriculum_loss_batched``)."""
+    if grad_steps is not None and not 1 <= grad_steps <= rollout_steps:
+        raise ValueError(
+            f"grad_steps must be in [1, rollout_steps={rollout_steps}], "
+            f"got {grad_steps}")
 
     def loss_fn(params, batch):
         gbatch = featurize_batch(cfg, batch, graph_frame)
         return curriculum_loss_batched(
             params, cfg, gbatch, batch["y_seq"], threshold, step_weights,
             coord_clip, return_overflow=True, loss_space=loss_space,
+            grad_steps=grad_steps,
         )
 
     @jax.jit

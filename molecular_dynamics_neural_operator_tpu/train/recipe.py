@@ -39,6 +39,7 @@ def train_curriculum_recipe(
     log_prefix: str = "",
     min_warmup: int = 200,
     loss_space: str = "absolute",
+    grad_steps=None,
     divergence_limit: int = 4,
     on_divergence: str = "abort",
     max_backoffs: int = 2,
@@ -90,6 +91,7 @@ def train_curriculum_recipe(
         step_k = make_curriculum_train_step(
             cfg, tx, rollout_steps=k, threshold=threshold,
             coord_clip=coord_clip, loss_space=loss_space,
+            grad_steps=grad_steps,
         )
         return state, step_k1, step_k
 

@@ -246,6 +246,116 @@ def test_batched_curriculum_blocked_dataset_layout():
                                rtol=1e-5)
 
 
+def test_grad_steps_truncated_backprop():
+    """grad_steps=j supervises only the LAST j rollout steps (burn-in +
+    truncated backprop): j=K reproduces the default bitwise; j=1's loss is
+    the last step's relative L2 on the SAME rollout (burn-in forward math
+    unchanged), its grads equal a hand-rolled reference that detaches the
+    window at the burn-in boundary, and the mse metric still averages all
+    K steps."""
+    from molecular_dynamics_neural_operator_tpu.models import (
+        GKNBatch,
+        gkn_apply,
+    )
+    from molecular_dynamics_neural_operator_tpu.rollout.scan import (
+        _build_graph,
+        rebuilt_scatter_hint,
+    )
+    from molecular_dynamics_neural_operator_tpu.train.curriculum import (
+        curriculum_loss_batched,
+    )
+    from molecular_dynamics_neural_operator_tpu.train.loop import (
+        featurize_batch,
+    )
+
+    cfg, tcfg, traj, ds = _setup()
+    state, tx, _ = create_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+
+    # (a) j=K == default, loss and grads
+    b3 = {k: jnp.asarray(v) for k, v in
+          ds.get_batch(np.arange(6), rollout_horizon=3).items()}
+    g3 = featurize_batch(cfg, b3, "first")
+
+    def loss3(p, gs):
+        return curriculum_loss_batched(p, cfg, g3, b3["y_seq"],
+                                       grad_steps=gs)[0]
+
+    v_full, grads_full = jax.value_and_grad(lambda p: loss3(p, None))(
+        state.params)
+    v_jk, grads_jk = jax.value_and_grad(lambda p: loss3(p, 3))(state.params)
+    np.testing.assert_allclose(float(v_full), float(v_jk), rtol=0, atol=0)
+    for a, b in zip(jax.tree_util.tree_leaves(grads_full),
+                    jax.tree_util.tree_leaves(grads_jk)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # (b) K=2, j=1 vs a hand-rolled stop-gradient reference
+    b2 = {k: jnp.asarray(v) for k, v in
+          ds.get_batch(np.arange(6), rollout_horizon=2).items()}
+    g2 = featurize_batch(cfg, b2, "first")
+    y1 = b2["y_seq"][:, 1]
+
+    def loss_j1(p):
+        return curriculum_loss_batched(p, cfg, g2, b2["y_seq"],
+                                       grad_steps=1)[0]
+
+    def loss_manual(p):
+        out = gkn_apply(p, cfg, g2)  # burn-in: teacher step, no loss
+        window = jnp.concatenate([g2.window[:, 1:], out[:, None]], axis=1)
+        window = jax.lax.stop_gradient(window)
+        graph, _ = jax.vmap(
+            lambda f: _build_graph(cfg, f, 8.0))(window[:, -1])
+        out2 = gkn_apply(
+            p, cfg, GKNBatch(aa=g2.aa, window=window, graph=graph, y=y1),
+            scatter_hint=rebuilt_scatter_hint(cfg, g2.aa.shape[0]))
+        num = jnp.sqrt(jnp.sum((out2 - y1) ** 2, axis=(1, 2)))
+        den = jnp.sqrt(jnp.sum(y1 ** 2, axis=(1, 2)))
+        return jnp.sum(num / den)
+
+    v1, grads1 = jax.value_and_grad(loss_j1)(state.params)
+    vm, gradsm = jax.value_and_grad(loss_manual)(state.params)
+    np.testing.assert_allclose(float(v1), float(vm), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(grads1),
+                    jax.tree_util.tree_leaves(gradsm)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-8)
+
+    # truncation actually changes the gradient vs full BPTT with the same
+    # per-step weighting (weight 0 on the teacher step, 1 on the last)
+    def loss_weighted_full(p):
+        return curriculum_loss_batched(p, cfg, g2, b2["y_seq"],
+                                       step_weights=[0.0, 1.0])[0]
+
+    vw, gradsw = jax.value_and_grad(loss_weighted_full)(state.params)
+    np.testing.assert_allclose(float(v1), float(vw), rtol=1e-6)
+    diffs = [float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+             for a, b in zip(jax.tree_util.tree_leaves(grads1),
+                             jax.tree_util.tree_leaves(gradsw))]
+    assert max(diffs) > 0, "truncated grads unexpectedly equal full BPTT"
+
+    # mse metric covers ALL K steps regardless of supervision span
+    _, mse_j1 = curriculum_loss_batched(state.params, cfg, g2, b2["y_seq"],
+                                        grad_steps=1)
+    _, mse_full = curriculum_loss_batched(state.params, cfg, g2,
+                                          b2["y_seq"])
+    np.testing.assert_allclose(float(mse_j1), float(mse_full), rtol=1e-6)
+
+    # (c) validation + end-to-end step
+    import pytest
+
+    with pytest.raises(ValueError, match="grad_steps"):
+        curriculum_loss_batched(state.params, cfg, g2, b2["y_seq"],
+                                grad_steps=0)
+    with pytest.raises(ValueError, match="step_weights"):
+        curriculum_loss_batched(state.params, cfg, g2, b2["y_seq"],
+                                grad_steps=1, step_weights=[0.5, 0.5])
+    with pytest.raises(ValueError, match="grad_steps"):
+        make_curriculum_train_step(cfg, tx, rollout_steps=2, grad_steps=3)
+    step = make_curriculum_train_step(cfg, tx, rollout_steps=3,
+                                      grad_steps=1, coord_clip=1000.0)
+    state2, m = step(state, b3)
+    assert np.isfinite(float(m["rel_l2"]))
+
+
 def test_recipe_k_switch_engages_mid_epoch(capsys):
     """The warmup -> K switch must happen at the step boundary even when
     the boundary falls inside an epoch (a one-epoch full-scale run used
