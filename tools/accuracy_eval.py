@@ -61,6 +61,9 @@ def main():
     p.add_argument("--scheduler_gamma", type=float, default=0.8)
     p.add_argument("--loss_space", choices=["absolute", "delta"],
                    default="absolute")
+    p.add_argument("--grad_steps", type=int, default=0,
+                   help="supervise only the last j curriculum steps "
+                        "(burn-in + truncated backprop; 0 = full BPTT)")
     p.add_argument("--window_diff", action="store_true",
                    help="encode the window as [last frame ; scaled frame "
                         "diffs] so the LSTM sees velocities directly")
@@ -86,6 +89,7 @@ def main():
         cfg, tcfg, ds, tr_idx, steps=args.steps, k=args.k,
         warmup_frac=args.warmup_frac, coord_clip=cc, seed=args.seed,
         loss_space=args.loss_space,
+        grad_steps=args.grad_steps if args.grad_steps > 0 else None,
     )
 
     # --- evaluation: free rollout from the validation region
