@@ -275,6 +275,56 @@ def test_shardmapped_pallas_curriculum_matches_single_device(sparse_cfg):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_shardmapped_pallas_grad_steps_curriculum_matches_single_device(
+        sparse_cfg):
+    """grad_steps (burn-in + truncated backprop) under BOTH data-parallel
+    routes — the explicit shard_map Pallas path and the NamedSharding jit
+    path — must match the single-device truncated step: the burn-in's
+    stop_gradient boundary is per-example, so batch sharding cannot change
+    the objective."""
+    import dataclasses
+
+    from molecular_dynamics_neural_operator_tpu.data import (
+        WindowDataset,
+        synthetic_trajectory,
+    )
+    from molecular_dynamics_neural_operator_tpu.parallel import (
+        make_sharded_curriculum_train_step,
+    )
+    from molecular_dynamics_neural_operator_tpu.train.curriculum import (
+        make_curriculum_train_step,
+    )
+
+    traj = synthetic_trajectory(num_frames=32,
+                                num_residues=sparse_cfg.num_residues,
+                                seed=7)
+    for impl in ("pallas", "xla"):
+        cfg = dataclasses.replace(sparse_cfg, predict_delta=True,
+                                  train_conv_impl=impl)
+        tcfg = TrainConfig(lr=1e-3, batch_size=8, rollout_steps=3)
+        ds = WindowDataset(traj, window_size=cfg.window_size,
+                           graph_mode="sparse", max_edges=cfg.max_edges)
+        batch = ds.get_batch(np.arange(8), rollout_horizon=3)
+
+        state1, tx1, _ = create_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+        step1 = make_curriculum_train_step(cfg, tx1, rollout_steps=3,
+                                           coord_clip=100.0, grad_steps=1)
+        new1, m1 = step1(state1, batch)
+
+        mesh = make_mesh(MeshConfig(data=8, model=1))
+        state2, tx2, _ = create_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+        step2, put = make_sharded_curriculum_train_step(
+            cfg, tx2, mesh, rollout_steps=3, coord_clip=100.0, grad_steps=1)
+        new2, m2 = step2(state2, put(batch))
+
+        np.testing.assert_allclose(float(m1["rel_l2"]), float(m2["rel_l2"]),
+                                   rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(new1.params),
+                        jax.tree_util.tree_leaves(new2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+
 def test_shardmapped_pallas_delta_curriculum_matches_single_device(
         sparse_cfg):
     """loss_space="delta" under the explicit shard_map route: the pooled
