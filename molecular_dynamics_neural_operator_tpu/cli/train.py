@@ -76,6 +76,11 @@ def parse_args(argv=None):
                    help="clip rail on the curriculum's inner rollout "
                         "coordinates (0 disables; essential for bf16 "
                         "curriculum stability)")
+    p.add_argument("--noise_std", type=float, default=0.0,
+                   help="GNS-style random-walk input noise std (Angstrom) "
+                        "on the training windows; targets stay clean so "
+                        "the model learns to correct drifting inputs "
+                        "(0 disables — reference behavior)")
     p.add_argument("--grad_clip_norm", type=float, default=None,
                    help="global-norm gradient clipping (default: 1.0 when "
                         "the curriculum is on, else off)")
@@ -207,6 +212,7 @@ def build_configs(args):
     train = TrainConfig(
         rollout_steps=args.rollout_steps,
         loss_space=args.loss_space,
+        noise_std=args.noise_std,
         grad_clip_norm=clip,
         skip_nonfinite_updates=skip_nf,
         seed=args.seed,
@@ -501,6 +507,7 @@ def main(argv=None):
                 model_cfg, tx, mesh, rollout_steps=train_cfg.rollout_steps,
                 threshold=data_cfg.threshold, coord_clip=coord_clip,
                 loss_space=train_cfg.loss_space, grad_steps=grad_steps,
+                noise_std=train_cfg.noise_std,
             )
             print(f"Data-parallel curriculum: batch sharded over "
                   f"{mesh.shape['data']} devices")
@@ -509,17 +516,21 @@ def main(argv=None):
                 model_cfg, tx, rollout_steps=train_cfg.rollout_steps,
                 threshold=data_cfg.threshold, coord_clip=coord_clip,
                 loss_space=train_cfg.loss_space, grad_steps=grad_steps,
+                noise_std=train_cfg.noise_std,
             )
         print(f"Curriculum training: K={train_cfg.rollout_steps} rollout "
               f"steps in the loss (grad_clip={train_cfg.grad_clip_norm}, "
               f"skip_nonfinite={train_cfg.skip_nonfinite_updates}, "
               f"coord_clip={coord_clip}, grad_steps="
-              f"{grad_steps or train_cfg.rollout_steps})")
+              f"{grad_steps or train_cfg.rollout_steps}, "
+              f"noise_std={train_cfg.noise_std})")
     elif data_parallel:
         mesh = make_mesh()
-        train_step, put = make_sharded_train_step(model_cfg, tx, mesh)
+        train_step, put = make_sharded_train_step(
+            model_cfg, tx, mesh, noise_std=train_cfg.noise_std)
     else:
-        train_step = make_train_step(model_cfg, tx)
+        train_step = make_train_step(model_cfg, tx,
+                                     noise_std=train_cfg.noise_std)
     eval_step = make_eval_step(model_cfg)
     print("Initialized model")
 

@@ -172,6 +172,10 @@ class TrainConfig:
     # unit-scale objective (see train/curriculum.py) — required for the
     # model to beat the copy-last-frame baseline in bf16.
     loss_space: str = "absolute"
+    # GNS-style random-walk input-noise std (train/noise.py); the last
+    # window frame is corrupted by N(0, noise_std^2) accumulated over the
+    # window while the target stays clean. 0 disables (reference behavior).
+    noise_std: float = 0.0
     run_path: str = "runs/default"
     checkpoint_every: int = 1
     generate_movie: bool = True

@@ -77,14 +77,25 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
     return out
 
 
-def _make_shardmapped_step(cfg, tx, mesh, loss_fn, data_axis="data"):
+def _make_shardmapped_step(cfg, tx, mesh, loss_fn, data_axis="data",
+                           noise_std: float = 0.0):
     """Explicit-shard_map data-parallel step for loss functions containing
     ``pallas_call`` (which sharding propagation cannot partition): each
     device runs the kernel on its local batch shard, gradients all-reduce
     with an explicit psum, and the (replicated) optimizer update happens
     outside the sharded region. ``loss_fn(params, batch_dict) ->
-    (batch-sum loss, aux_mse)``."""
+    (batch-sum loss, aux_mse)``.
+
+    ``noise_std``: GNS-style input noise, generated OUTSIDE the shard_map
+    from the GLOBAL batch shape (train/noise.py) — XLA shards the
+    generation with the window, and the realized noise is bitwise the
+    single-device step's, so the sharded==single-device parity pins hold
+    with noise on."""
     from functools import partial as _partial
+
+    from molecular_dynamics_neural_operator_tpu.train.noise import (
+        noised_window,
+    )
 
     # check_vma=False: pallas_call outputs carry no varying-mesh-axes
     # annotation, which the checker requires; the collectives here are
@@ -107,6 +118,12 @@ def _make_shardmapped_step(cfg, tx, mesh, loss_fn, data_axis="data"):
         return l2, m, grads
 
     def step(state: TrainState, batch: dict):
+        if noise_std > 0.0:
+            batch = dict(
+                batch,
+                window=noised_window(batch["window"], state.rng,
+                                     state.step, noise_std),
+            )
         rest = {k: v for k, v in batch.items() if k != "aa"}
         l2, m, grads = grads_fn(state.params, batch["aa"], rest)
         new_state = apply_update(state, grads, tx)
@@ -139,6 +156,7 @@ def make_sharded_train_step(
     tx,
     mesh: Mesh,
     graph_frame: str = "first",
+    noise_std: float = 0.0,
 ):
     """Data-parallel train step: params/opt-state replicated, batch sharded
     over the "data" mesh axis. The batch-sum loss makes gradients a psum,
@@ -150,14 +168,25 @@ def make_sharded_train_step(
     Returns (step_fn, put_fn): call ``put_fn(host_batch)`` then
     ``step_fn(state, device_batch)``.
     """
+    from molecular_dynamics_neural_operator_tpu.train.noise import (
+        noised_window,
+    )
+
     if cfg.train_conv_impl == "pallas":
         def loss(params, batch):
             gbatch = featurize_batch(cfg, batch, graph_frame)
             l2, (m, _) = _loss_fn(params, cfg, gbatch)
             return l2, m
 
-        return _make_shardmapped_step(cfg, tx, mesh, loss)
+        return _make_shardmapped_step(cfg, tx, mesh, loss,
+                                      noise_std=noise_std)
     def step(state: TrainState, batch: dict):
+        if noise_std > 0.0:
+            batch = dict(
+                batch,
+                window=noised_window(batch["window"], state.rng,
+                                     state.step, noise_std),
+            )
         gbatch = featurize_batch(cfg, batch, graph_frame)
         (l2, (m, _)), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
             state.params, cfg, gbatch
@@ -187,6 +216,7 @@ def make_sharded_curriculum_train_step(
     coord_clip=None,
     loss_space: str = "absolute",
     grad_steps=None,
+    noise_std: float = 0.0,
 ):
     """Data-parallel K-step rollout-curriculum training step — the flagship
     recipe (tools/accuracy_eval.py) on many chips.
@@ -223,13 +253,14 @@ def make_sharded_curriculum_train_step(
                 axis_name="data", grad_steps=grad_steps,
             )
 
-        return _make_shardmapped_step(cfg, tx, mesh, loss)
+        return _make_shardmapped_step(cfg, tx, mesh, loss,
+                                      noise_std=noise_std)
 
     step = make_curriculum_train_step(
         cfg, tx, rollout_steps=rollout_steps, threshold=threshold,
         step_weights=step_weights, graph_frame=graph_frame,
         coord_clip=coord_clip, loss_space=loss_space,
-        grad_steps=grad_steps,
+        grad_steps=grad_steps, noise_std=noise_std,
     )
 
     def put(host_batch: dict) -> dict:

@@ -288,17 +288,25 @@ def make_curriculum_train_step(
     coord_clip: Optional[float] = None,
     loss_space: str = "absolute",
     grad_steps: Optional[int] = None,
+    noise_std: float = 0.0,
 ):
     """Jitted (state, host_batch) -> (state, metrics). The host batch must
     carry ``y_seq`` (B, K, R, 3) (``WindowDataset.get_batch(...,
     rollout_horizon=K)``). ``coord_clip`` bounds the inner free-rollout
     coordinates (essential for bf16 curriculum stability). ``grad_steps``
     supervises only the last j rollout steps (burn-in + truncated
-    backprop — see ``curriculum_loss_batched``)."""
+    backprop — see ``curriculum_loss_batched``). ``noise_std`` corrupts
+    the INITIAL window with GNS-style random-walk noise (train/noise.py);
+    the K free steps feed back the model's own (clean) predictions as
+    usual — noise widens the input distribution, the curriculum exposes
+    the true model-error distribution, and they compose."""
     if grad_steps is not None and not 1 <= grad_steps <= rollout_steps:
         raise ValueError(
             f"grad_steps must be in [1, rollout_steps={rollout_steps}], "
             f"got {grad_steps}")
+    from molecular_dynamics_neural_operator_tpu.train.noise import (
+        noised_window,
+    )
 
     def loss_fn(params, batch):
         gbatch = featurize_batch(cfg, batch, graph_frame)
@@ -319,6 +327,12 @@ def make_curriculum_train_step(
                 f"batch carries y_seq with K={k} but the step was built "
                 f"with rollout_steps={rollout_steps} — assemble batches "
                 f"with get_batch(..., rollout_horizon={rollout_steps})"
+            )
+        if noise_std > 0.0:
+            batch = dict(
+                batch,
+                window=noised_window(batch["window"], state.rng,
+                                     state.step, noise_std),
             )
         (l2, (m, overflow)), grads = jax.value_and_grad(
             loss_fn, has_aux=True

@@ -70,10 +70,27 @@ def _loss_fn(params, cfg: ModelConfig, gbatch: GKNBatch):
 
 
 def make_train_step(cfg: ModelConfig, tx, graph_frame: str = "first",
-                    donate: bool = True):
-    """Returns jitted (state, host_batch) -> (state, metrics)."""
+                    donate: bool = True, noise_std: float = 0.0):
+    """Returns jitted (state, host_batch) -> (state, metrics).
+
+    ``noise_std > 0`` corrupts the input window with GNS-style
+    random-walk noise (train/noise.py) while the target stays clean, so
+    the model learns to correct drifting inputs — the rollout-robustness
+    trick the reference's teacher-forced objective lacks. Edge FEATURES
+    follow the noised coordinates (featurize rebuilds them from the
+    frame); edge CONNECTIVITY stays the stored contact map, whose 8 A
+    threshold dwarfs the noise scale."""
+    from molecular_dynamics_neural_operator_tpu.train.noise import (
+        noised_window,
+    )
 
     def step(state: TrainState, batch: dict):
+        if noise_std > 0.0:
+            batch = dict(
+                batch,
+                window=noised_window(batch["window"], state.rng,
+                                     state.step, noise_std),
+            )
         gbatch = featurize_batch(cfg, batch, graph_frame)
         (l2, (m, _)), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
             state.params, cfg, gbatch

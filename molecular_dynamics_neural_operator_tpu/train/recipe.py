@@ -40,6 +40,7 @@ def train_curriculum_recipe(
     min_warmup: int = 200,
     loss_space: str = "absolute",
     grad_steps=None,
+    noise_std: float = 0.0,
     divergence_limit: int = 4,
     on_divergence: str = "abort",
     max_backoffs: int = 2,
@@ -87,11 +88,12 @@ def train_curriculum_recipe(
         step_k1 = make_curriculum_train_step(
             cfg, tx, rollout_steps=1, threshold=threshold,
             coord_clip=coord_clip, loss_space=loss_space,
+            noise_std=noise_std,
         )
         step_k = make_curriculum_train_step(
             cfg, tx, rollout_steps=k, threshold=threshold,
             coord_clip=coord_clip, loss_space=loss_space,
-            grad_steps=grad_steps,
+            grad_steps=grad_steps, noise_std=noise_std,
         )
         return state, step_k1, step_k
 

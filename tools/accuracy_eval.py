@@ -64,6 +64,9 @@ def main():
     p.add_argument("--grad_steps", type=int, default=0,
                    help="supervise only the last j curriculum steps "
                         "(burn-in + truncated backprop; 0 = full BPTT)")
+    p.add_argument("--noise_std", type=float, default=0.0,
+                   help="GNS-style random-walk input-noise std on the "
+                        "training windows (0 disables)")
     p.add_argument("--window_diff", action="store_true",
                    help="encode the window as [last frame ; scaled frame "
                         "diffs] so the LSTM sees velocities directly")
@@ -90,6 +93,7 @@ def main():
         warmup_frac=args.warmup_frac, coord_clip=cc, seed=args.seed,
         loss_space=args.loss_space,
         grad_steps=args.grad_steps if args.grad_steps > 0 else None,
+        noise_std=args.noise_std,
     )
 
     # --- evaluation: free rollout from the validation region
