@@ -51,6 +51,12 @@ def parse_args(argv=None):
                         "UNDETECTABLE at restore time and silently feeds "
                         "the LSTM the wrong encoding")
     p.add_argument("--window_diff_scale", type=float, default=100.0)
+    p.add_argument("--kernel_quant", choices=["none", "int8"],
+                   default="none",
+                   help="int8-quantize the per-edge kernel matrices with "
+                        "per-edge scales (serving mode: halves the "
+                        "batched-rollout HBM traffic on the kernel "
+                        "tensor; sparse scan path only)")
     p.add_argument("--clip", type=float, default=None)
     p.add_argument("--impl", choices=["scan", "persistent"], default="scan",
                    help="'persistent' = grid-over-steps Pallas kernel with "
@@ -105,7 +111,10 @@ def main(argv=None):
         electrostatics=args.electrostatics,
         window_diff=args.window_diff,
         window_diff_scale=args.window_diff_scale,
+        kernel_quant=args.kernel_quant,
     )
+    if args.kernel_quant != "none" and args.graph_mode != "sparse":
+        raise SystemExit("--kernel_quant int8 requires --graph_mode sparse")
     traj = load_trajectory(args.data_path)
 
     if args.checkpoint is not None:

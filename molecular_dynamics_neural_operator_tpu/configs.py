@@ -94,6 +94,14 @@ class ModelConfig:
     # replaces the scatter with a dense per-node reduction — the large-R
     # training win. "onehot"/"segment" force those modes.
     scatter_mode: str = "auto"
+    # Serving-side kernel-tensor quantization: "int8" stores the per-edge
+    # (w, w) kernel matrices as int8 with a per-edge scale folded into the
+    # message mask. Batched/multi-stream rollout is HBM-bound on re-reading
+    # this tensor once per conv layer (docs/PERFORMANCE.md serving cap);
+    # int8 halves that traffic vs bf16. Sparse XLA path only; accuracy is
+    # a measured trade (tools/quant_serving_bench.py) — keep "none" for
+    # training and quality headlines.
+    kernel_quant: str = "none"  # "none" | "int8"
     cell_capacity: int = 16
     num_cells: int = 4096
     # Electrostatic node features (BASELINE config 5): "dh" appends the

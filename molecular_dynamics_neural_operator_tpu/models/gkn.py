@@ -191,6 +191,17 @@ def gkn_apply_single(
 
     kernel2_params = params.get("edge_kernel2", params["edge_kernel"])
 
+    if cfg.kernel_quant not in ("none", "int8"):
+        raise ValueError(f"unknown kernel_quant: {cfg.kernel_quant!r}")
+    if cfg.kernel_quant != "none" and (
+        isinstance(graph, DenseGraph) or cfg.conv_impl == "pallas"
+    ):
+        raise ValueError(
+            "kernel_quant='int8' requires the sparse XLA conv path "
+            "(graph_mode='sparse', conv_impl='xla') — the dense and "
+            "fused-Pallas paths keep the kernel tensor in bf16"
+        )
+
     if isinstance(graph, DenseGraph):
         kernels = edge_kernel_matrices(
             params["edge_kernel"], graph.edge_feats, w, compute_dtype=cd
@@ -248,8 +259,26 @@ def gkn_apply_single(
         )
         inv_deg = sparse_inv_degree(graph.edges, graph.mask, num_nodes,
                                     scatter)
+        # int8 serving mode: store the kernel tensor as int8 and fold the
+        # per-edge dequantization scale into the message mask — the convs
+        # below run unmodified (the astype load dequantizes in the fused
+        # reduction) and the per-layer HBM re-read halves.
+        msg_mask = msg_mask2 = graph.mask
+        if cfg.kernel_quant == "int8":
+            from molecular_dynamics_neural_operator_tpu.ops.edge_conv import (
+                quantize_kernels_int8,
+            )
+
+            kernels, kscale = quantize_kernels_int8(kernels)
+            msg_mask = graph.mask * kscale
+            if cfg.tie_edge_kernel:
+                kernels2, msg_mask2 = kernels, msg_mask
+            else:
+                kernels2, kscale2 = quantize_kernels_int8(kernels2)
+                msg_mask2 = graph.mask * kscale2
         if (cfg.fused_conv_vjp and cfg.tie_edge_kernel
-                and scatter == "onehot" and cfg.depth > 0):
+                and scatter == "onehot" and cfg.depth > 0
+                and cfg.kernel_quant == "none"):
             # Hand-written VJP over the whole tied stack: one-pass
             # kernel-tensor gradient (ops/conv_stack.py).
             from molecular_dynamics_neural_operator_tpu.ops.conv_stack import (
@@ -268,7 +297,7 @@ def gkn_apply_single(
             for _ in range(cfg.depth):
                 x = jax.nn.relu(
                     edge_conv_sparse(
-                        params["conv1"], x, kernels, graph.edges, graph.mask,
+                        params["conv1"], x, kernels, graph.edges, msg_mask,
                         inv_deg, scatter, cd,
                     )
                 )
@@ -276,7 +305,7 @@ def gkn_apply_single(
                 x = jax.nn.relu(
                     edge_conv_sparse(
                         params["conv2"], x, kernels2, graph.edges,
-                        graph.mask, inv_deg, scatter, cd,
+                        msg_mask2, inv_deg, scatter, cd,
                     )
                 )
 
@@ -315,6 +344,7 @@ def gkn_apply(
     if (cfg.train_conv_impl == "pallas"
             and isinstance(batch.graph, SparseGraph)
             and cfg.tie_edge_kernel and cfg.depth > 0
+            and cfg.kernel_quant == "none"
             # same node-count bound as the one-hot scatter path: the
             # kernel builds (B, E, R) incidence tensors and per-example
             # VMEM blocks — large systems stay on the segment/XLA path

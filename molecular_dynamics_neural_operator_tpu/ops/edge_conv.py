@@ -89,6 +89,25 @@ def edge_kernel_matrices(
     return h.reshape(edge_feats.shape[:-1] + (width, width)).astype(out_dtype)
 
 
+def quantize_kernels_int8(kernels: Array):
+    """Symmetric per-edge int8 quantization of the kernel tensor.
+
+    kernels: (..., E, w, w). Returns (k8 int8, scale f32 (..., E)) with
+    ``k8 * scale ~= kernels``. The consuming conv folds ``scale`` into its
+    per-edge message mask (``m * (mask * scale)``), so ``edge_conv_sparse``
+    runs unmodified on the int8 tensor: the ``astype(compute_dtype)`` load
+    converts on the fly inside the fused reduction, and HBM reads 1 byte
+    per element instead of 2 (bf16) — the batched-serving bandwidth bound
+    (docs/PERFORMANCE.md, "the serving cap")."""
+    amax = jnp.max(jnp.abs(kernels.astype(jnp.float32)), axis=(-2, -1))
+    scale = jnp.maximum(amax, 1e-30) / 127.0
+    k8 = jnp.clip(
+        jnp.round(kernels.astype(jnp.float32) / scale[..., None, None]),
+        -127.0, 127.0,
+    ).astype(jnp.int8)
+    return k8, scale
+
+
 def edge_conv_dense(
     conv_params, x: Array, kernels_masked: Array, inv_deg: Array,
     compute_dtype=None,

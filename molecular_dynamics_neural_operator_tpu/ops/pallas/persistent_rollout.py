@@ -565,6 +565,14 @@ def make_persistent_rollout_fn(cfg, num_steps: int, threshold: float = 8.0,
     21.8k for the REP-matmul form and 20.0k for the XLA scan on one v5e,
     bitwise-equal outputs) and False under interpret mode, whose repeat
     semantics are unverified."""
+    if getattr(cfg, "kernel_quant", "none") != "none":
+        # Silently running the bf16 kernel under a quantized config would
+        # misreport what was measured (same guard class as window_diff).
+        raise ValueError(
+            "kernel_quant is not supported by the persistent rollout "
+            "kernel (its kernel tensor is VMEM-resident, so int8 buys "
+            "nothing there) — use impl='scan'"
+        )
     if interpret is None:
         interpret = not pallas_available()
     if use_repeat is None:
