@@ -73,11 +73,21 @@ def parse_args(argv=None):
     p.add_argument("--backbone", action="store_true",
                    help="render 3-D backbone frames of the first rollout "
                         "steps (bba_analysis.ipynb cell 31 parity)")
+    p.add_argument("--compilation_cache", type=Path, default=None,
+                   help="persistent XLA compilation-cache dir: repeated "
+                        "runs of the same rollout skip the TPU compile")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+
+    if args.compilation_cache is not None:
+        from molecular_dynamics_neural_operator_tpu.utils.compilation_cache import (  # noqa: E501
+            enable_compilation_cache,
+        )
+
+        enable_compilation_cache(args.compilation_cache)
 
     import jax
     import jax.numpy as jnp

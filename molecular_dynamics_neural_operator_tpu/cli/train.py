@@ -139,6 +139,10 @@ def parse_args(argv=None):
                         "(TensorBoard/Perfetto viewable)")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard the batch over all local devices")
+    p.add_argument("--compilation_cache", type=Path, default=None,
+                   help="persistent XLA compilation-cache dir: repeated "
+                        "runs of the same program skip the multi-minute "
+                        "TPU compile (utils/compilation_cache.py)")
     args = p.parse_args(argv)
     if not args.data_path.exists():
         raise ValueError(f"data_path does not exist: {args.data_path}")
@@ -384,6 +388,13 @@ def _main_fno(args, data_cfg, train_cfg):
 def main(argv=None):
     args = parse_args(argv)
     model_cfg, data_cfg, train_cfg = build_configs(args)
+
+    if args.compilation_cache is not None:
+        from molecular_dynamics_neural_operator_tpu.utils.compilation_cache import (  # noqa: E501
+            enable_compilation_cache,
+        )
+
+        enable_compilation_cache(args.compilation_cache)
 
     for name in ("num_data_workers", "persistent_workers", "non_blocking"):
         if getattr(args, name):
