@@ -25,6 +25,11 @@ def parse_args(argv=None):
                    help=".npz checkpoint (overrides run_path's best.npz)")
     p.add_argument("--out", type=Path, required=True,
                    help="bundle directory to create")
+    p.add_argument("--operator", choices=["gkn", "fno"], default="gkn",
+                   help="which family the checkpoint belongs to (fno "
+                        "bundles take the (R, R, T) distance-channel "
+                        "window; config from --run_path's config.json "
+                        "or FNOConfig defaults + --num_residues)")
     p.add_argument("--num_steps", type=int, default=100)
     p.add_argument("--threshold", type=float, default=8.0)
     p.add_argument("--collect", choices=["coords", "contact_maps", "both"],
@@ -76,25 +81,36 @@ def main(argv=None):
     )
 
     ckpt = args.checkpoint
+    exp_cfg = None
     if args.run_path is not None:
-        cfg = experiment_from_json(
+        exp_cfg = experiment_from_json(
             (args.run_path / "config.json").read_text()
-        ).model
+        )
         if ckpt is None and (args.run_path / "best.npz").exists():
             ckpt = args.run_path / "best.npz"
+    if args.operator == "fno":
+        from molecular_dynamics_neural_operator_tpu.configs import FNOConfig
+        from molecular_dynamics_neural_operator_tpu.models.fno import (
+            fno_init,
+        )
+
+        cfg = (exp_cfg.fno if exp_cfg is not None
+               else FNOConfig(num_residues=args.num_residues))
+        init = fno_init
     else:
-        cfg = ModelConfig(
+        cfg = exp_cfg.model if exp_cfg is not None else ModelConfig(
             width=args.width, ker_width=args.kernel_width, depth=args.depth,
             window_size=args.window_size, num_residues=args.num_residues,
             graph_mode=args.graph_mode, max_edges=args.max_edges,
             compute_dtype=args.compute_dtype,
             predict_delta=args.predict_delta,
         )
+        init = gkn_init
     if ckpt is None:
         raise SystemExit("no checkpoint: pass --checkpoint or a --run_path "
                          "containing best.npz")
 
-    template = gkn_init(jax.random.PRNGKey(0), cfg)
+    template = init(jax.random.PRNGKey(0), cfg)
     params, meta = restore_subtree(ckpt, template, ".params")
 
     path = save_bundle(
@@ -118,20 +134,25 @@ def main(argv=None):
         print(f"selftest skipped: bundle platforms {bundle.platforms} "
               f"exclude this host ({host}); pass --no_selftest to silence")
         return
-    r, t = cfg.num_residues, cfg.window_size
-    shape = (t, r, 3) if args.streams == 0 else (args.streams, t, r, 3)
-    window = np.asarray(
-        jax.random.normal(jax.random.PRNGKey(1), shape), np.float32
-    ) * 4.0
-    aa = np.arange(r, dtype=np.int32) % cfg.num_embeddings
-    got = bundle(jnp.asarray(aa), jnp.asarray(window))
+    r = cfg.num_residues
+    if args.operator == "fno":
+        inputs = (jnp.asarray(np.asarray(
+            jax.random.normal(jax.random.PRNGKey(1),
+                              (r, r, cfg.in_channels)), np.float32)),)
+    else:
+        t = cfg.window_size
+        shape = (t, r, 3) if args.streams == 0 else (args.streams, t, r, 3)
+        window = np.asarray(
+            jax.random.normal(jax.random.PRNGKey(1), shape), np.float32
+        ) * 4.0
+        aa = np.arange(r, dtype=np.int32) % cfg.num_embeddings
+        inputs = (jnp.asarray(aa), jnp.asarray(window))
+    got = bundle(*inputs)
     from molecular_dynamics_neural_operator_tpu.serving.export import (
         _serving_fn,
     )
 
-    want = jax.jit(_serving_fn(cfg, bundle.rollout))(
-        params, jnp.asarray(aa), jnp.asarray(window)
-    )
+    want = jax.jit(_serving_fn(cfg, bundle.rollout))(params, *inputs)
     g, w = np.asarray(got[0]), np.asarray(want[0])
     fin = np.isfinite(g) & np.isfinite(w)
     ok = (np.array_equal(np.isfinite(g), np.isfinite(w))

@@ -278,6 +278,14 @@ def _main_fno(args, data_cfg, train_cfg):
         depth=args.fno_depth, in_channels=args.window_size,
         num_residues=traj.num_residues,
     )
+    # config.json parity with the GKN path: --run_path consumers
+    # (examples/bba_analysis.py, cli/export.py) read the fno section.
+    from molecular_dynamics_neural_operator_tpu import configs as _configs
+
+    (run_dir / "config.json").write_text(
+        _configs.to_json(_configs.ExperimentConfig(
+            fno=cfg, data=data_cfg, train=train_cfg))
+    )
     ds = WindowDataset(traj, window_size=args.window_size,
                        horizon=data_cfg.horizon, graph_mode="none")
     tr_idx, va_idx = train_valid_split(len(ds), data_cfg.split_pct,

@@ -47,6 +47,18 @@ def _spectral_init(key, width: int, modes1: int, modes2: int):
 
 
 def fno_init(key, cfg: FNOConfig):
+    # Retained-mode capacity check up front: modes1 is a row-axis slice
+    # (must fit the full R rows) and modes2 indexes the half-spectrum
+    # (R//2 + 1 rfft columns). Without this the mismatch surfaces as an
+    # opaque einsum label error deep inside the first forward.
+    half = cfg.num_residues // 2 + 1
+    if cfg.modes1 > cfg.num_residues or cfg.modes2 > half:
+        raise ValueError(
+            f"FNO retained modes ({cfg.modes1}, {cfg.modes2}) exceed the "
+            f"{cfg.num_residues}-point grid's spectrum "
+            f"({cfg.num_residues} rows x {half} rfft columns); shrink "
+            "modes1/modes2 for this num_residues"
+        )
     keys = jax.random.split(key, cfg.depth * 2 + 3)
     params = {
         "lift": linear_init(keys[0], cfg.in_channels, cfg.width),

@@ -48,6 +48,12 @@ _META_FILE = "bundle.json"
 _FORMAT_VERSION = 1
 
 
+def _operator_name(cfg) -> str:
+    from molecular_dynamics_neural_operator_tpu.configs import FNOConfig
+
+    return "fno" if isinstance(cfg, FNOConfig) else "gkn"
+
+
 def _rollout_kwargs(num_steps, threshold, graph_frame, collect, clip,
                     streams, stream_chunk) -> dict:
     return {
@@ -61,7 +67,21 @@ def _rollout_kwargs(num_steps, threshold, graph_frame, collect, clip,
     }
 
 
-def _serving_fn(cfg: ModelConfig, kw: dict):
+def _serving_fn(cfg, kw: dict):
+    if _operator_name(cfg) == "fno":
+        # FNO state is the (R, R, T) distance-channel window; the only
+        # signature knob is num_steps (threshold/graph rebuild/clip are
+        # GKN coordinate-space concepts).
+        from molecular_dynamics_neural_operator_tpu.models.fno import (
+            fno_rollout_scan,
+        )
+
+        n = kw["num_steps"]
+
+        def fn(params, channels0):
+            return fno_rollout_scan(params, cfg, channels0, n)
+
+        return fn
     from molecular_dynamics_neural_operator_tpu.rollout import (
         make_rollout_fn,
     )
@@ -78,9 +98,12 @@ def _serving_fn(cfg: ModelConfig, kw: dict):
     )
 
 
-def _input_avals(cfg: ModelConfig, streams: int):
+def _input_avals(cfg, streams: int):
     import jax
 
+    if _operator_name(cfg) == "fno":
+        r = cfg.num_residues
+        return (jax.ShapeDtypeStruct((r, r, cfg.in_channels), np.float32),)
     r, t = cfg.num_residues, cfg.window_size
     aa = jax.ShapeDtypeStruct((r,), np.int32)
     shape = (t, r, 3) if streams == 0 else (streams, t, r, 3)
@@ -112,7 +135,12 @@ def export_rollout(
     import jax
     from jax import export as jax_export
 
-    if cfg.conv_impl == "pallas":
+    if _operator_name(cfg) == "fno" and streams:
+        raise ValueError(
+            "FNO bundles export the single-stream (R, R, T) signature; "
+            "batch streams at the caller with vmap before exporting"
+        )
+    if getattr(cfg, "conv_impl", "xla") == "pallas":
         raise ValueError(
             "conv_impl='pallas' embeds Mosaic custom calls, which have no "
             "cross-release serialization guarantee; export with "
@@ -122,7 +150,7 @@ def export_rollout(
     kw = _rollout_kwargs(num_steps, threshold, graph_frame, collect, clip,
                          streams, stream_chunk)
     fn = _serving_fn(cfg, kw)
-    aa, window = _input_avals(cfg, streams)
+    avals = _input_avals(cfg, streams)
     params_avals = jax.tree_util.tree_map(
         lambda p: jax.ShapeDtypeStruct(np.shape(p), np.asarray(p).dtype),
         params,
@@ -130,7 +158,7 @@ def export_rollout(
     exp = jax_export.export(
         jax.jit(fn),
         platforms=None if platforms is None else list(platforms),
-    )(params_avals, aa, window)
+    )(params_avals, *avals)
     return exp
 
 
@@ -167,6 +195,7 @@ def save_bundle(
     save_checkpoint(path / _PARAMS_FILE, params)
     meta = {
         "format_version": _FORMAT_VERSION,
+        "operator": _operator_name(cfg),
         "model_config": dataclasses.asdict(cfg),
         "rollout": _rollout_kwargs(num_steps, threshold, graph_frame,
                                    collect, clip, streams, stream_chunk),
@@ -181,19 +210,25 @@ def save_bundle(
 
 @dataclasses.dataclass(frozen=True)
 class ServingBundle:
-    """A loaded bundle: ``bundle(aa, window)`` runs the exported module
-    with the bundled weights; pass ``params=`` to hot-swap a same-shape
-    checkpoint without re-exporting."""
+    """A loaded bundle: calling it runs the exported module with the
+    bundled weights — ``bundle(aa, window)`` for GKN artifacts,
+    ``bundle(channels0)`` for FNO ones (``bundle.operator`` says which).
+    Pass ``params=`` to hot-swap a same-shape checkpoint without
+    re-exporting."""
 
     exported: Any
     params: Any
-    cfg: ModelConfig
+    cfg: Any
     meta: dict
 
-    def __call__(self, aa, window, *, params=None):
+    def __call__(self, *args, params=None):
         return self.exported.call(
-            self.params if params is None else params, aa, window
+            self.params if params is None else params, *args
         )
+
+    @property
+    def operator(self) -> str:
+        return self.meta.get("operator", "gkn")
 
     @property
     def platforms(self):
@@ -214,7 +249,6 @@ def load_bundle(path) -> ServingBundle:
     import jax
     from jax import export as jax_export
 
-    from molecular_dynamics_neural_operator_tpu.models import gkn_init
     from molecular_dynamics_neural_operator_tpu.utils.checkpoint import (
         restore_checkpoint,
     )
@@ -226,13 +260,27 @@ def load_bundle(path) -> ServingBundle:
             f"unsupported bundle format_version {meta.get('format_version')}"
             f" (this build reads {_FORMAT_VERSION})"
         )
-    from molecular_dynamics_neural_operator_tpu.configs import _from_dict
+    from molecular_dynamics_neural_operator_tpu.configs import (
+        FNOConfig,
+        _from_dict,
+    )
 
+    operator = meta.get("operator", "gkn")
     # _from_dict rather than ModelConfig(**...): it restores list->tuple
     # fields and ignores keys a newer exporter added, so older servers can
     # read forward-compatible bundles as long as format_version matches.
-    cfg = _from_dict(ModelConfig, meta["model_config"])
-    template = gkn_init(jax.random.PRNGKey(0), cfg)
+    if operator == "fno":
+        from molecular_dynamics_neural_operator_tpu.models.fno import (
+            fno_init,
+        )
+
+        cfg = _from_dict(FNOConfig, meta["model_config"])
+        template = fno_init(jax.random.PRNGKey(0), cfg)
+    else:
+        cfg = _from_dict(ModelConfig, meta["model_config"])
+        from molecular_dynamics_neural_operator_tpu.models import gkn_init
+
+        template = gkn_init(jax.random.PRNGKey(0), cfg)
     params, _ = restore_checkpoint(path / _PARAMS_FILE, template)
     exported = jax_export.deserialize(
         bytearray((path / _MODULE_FILE).read_bytes())

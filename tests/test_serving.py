@@ -134,6 +134,70 @@ def test_format_version_gate(tmp_path):
         load_bundle(path)
 
 
+def test_fno_bundle_roundtrip(tmp_path):
+    """The second operator family exports through the same bundle format:
+    meta records operator='fno', load rebuilds FNOConfig + template, and
+    the call signature is the (R, R, T) distance-channel window."""
+    from molecular_dynamics_neural_operator_tpu.configs import FNOConfig
+    from molecular_dynamics_neural_operator_tpu.models.fno import (
+        fno_init,
+        fno_rollout_scan,
+    )
+
+    cfg = FNOConfig(width=8, modes1=4, modes2=4, depth=2, in_channels=3,
+                    num_residues=12)
+    params = fno_init(jax.random.PRNGKey(0), cfg)
+    channels0 = jax.random.normal(
+        jax.random.PRNGKey(2), (12, 12, 3), jnp.float32
+    )
+    n = 4
+    path = save_bundle(tmp_path / "f", params, cfg, n)
+    bundle = load_bundle(path)
+    assert bundle.operator == "fno"
+    assert bundle.cfg.modes1 == 4
+    want = jax.jit(
+        lambda p, c: fno_rollout_scan(p, cfg, c, n)
+    )(params, channels0)
+    got = bundle(channels0)
+    _assert_same(got[0], want[0])
+    _assert_same(got[1], want[1])
+
+
+def test_fno_streams_rejected(tmp_path):
+    from molecular_dynamics_neural_operator_tpu.configs import FNOConfig
+    from molecular_dynamics_neural_operator_tpu.models.fno import fno_init
+
+    cfg = FNOConfig(width=8, modes1=4, modes2=4, depth=1, in_channels=3,
+                    num_residues=12)
+    params = fno_init(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(ValueError, match="single-stream"):
+        export_rollout(params, cfg, 2, streams=2)
+
+
+def test_export_cli_fno(tmp_path):
+    """--operator fno: FNOConfig-default bundle from a bare checkpoint."""
+    from molecular_dynamics_neural_operator_tpu.cli.export import main
+    from molecular_dynamics_neural_operator_tpu.configs import FNOConfig
+    from molecular_dynamics_neural_operator_tpu.models.fno import fno_init
+    from molecular_dynamics_neural_operator_tpu.utils.checkpoint import (
+        save_checkpoint,
+    )
+
+    cfg = FNOConfig(num_residues=28)
+    params = fno_init(jax.random.PRNGKey(0), cfg)
+    ckpt = tmp_path / "fno.npz"
+    save_checkpoint(ckpt, params)
+    out = tmp_path / "bundle"
+    main(["--operator", "fno", "--checkpoint", str(ckpt),
+          "--out", str(out), "--num_steps", "2", "--num_residues", "28"])
+    bundle = load_bundle(out)
+    assert bundle.operator == "fno"
+    channels0 = jax.random.normal(jax.random.PRNGKey(2),
+                                  (28, 28, cfg.in_channels), jnp.float32)
+    preds = np.asarray(bundle(channels0)[0])
+    assert preds.shape == (2, 28, 28)
+
+
 def test_export_cli_end_to_end(tmp_path):
     """Checkpoint -> bundle -> selftest, via the CLI entry point."""
     from molecular_dynamics_neural_operator_tpu.cli.export import main

@@ -39,23 +39,33 @@ from molecular_dynamics_neural_operator_tpu.utils.checkpoint import (
 )
 
 
-def _time_rollouts(call, params, aa, w0, n1, n2, reps):
-    """Slope-method steps/s for a dict of {num_steps: callable}."""
-    for n in (n1, n2):  # warm up / compile
-        float(jnp.sum(call[n](params, aa, w0)[0]))
-    t1s, t2s = [], []
-    for _ in range(reps):
-        for n, acc in ((n1, t1s), (n2, t2s)):
-            t0 = time.perf_counter()
+def _time_rollouts(variants, params, aa, w0, n1, n2, reps):
+    """Slope-method steps/s for {name: {num_steps: callable}}.
+
+    All variants interleave within each rep so slow drift in the tunnel's
+    fixed cost (the dominant noise source) hits every variant equally —
+    block-ordered timing measured a phantom 33% gap between two calls
+    that lower to the same XLA program."""
+    for call in variants.values():  # warm up / compile
+        for n in (n1, n2):
             float(jnp.sum(call[n](params, aa, w0)[0]))
-            acc.append(time.perf_counter() - t0)
-    return (n2 - n1) / max(min(t2s) - min(t1s), 1e-9)
+    times = {name: {n1: [], n2: []} for name in variants}
+    for _ in range(reps):
+        for name, call in variants.items():
+            for n in (n1, n2):
+                t0 = time.perf_counter()
+                float(jnp.sum(call[n](params, aa, w0)[0]))
+                times[name][n].append(time.perf_counter() - t0)
+    return {
+        name: (n2 - n1) / max(min(t[n2]) - min(t[n1]), 1e-9)
+        for name, t in times.items()
+    }
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--n1", type=int, default=250)
-    p.add_argument("--n2", type=int, default=2250)
+    p.add_argument("--n1", type=int, default=2000)
+    p.add_argument("--n2", type=int, default=22000)
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--out", type=str, default=None)
     args = p.parse_args()
@@ -107,10 +117,10 @@ def main():
             np.max(np.abs(got[fin] - want[fin])) if fin.any() else 0.0
         )
 
-        results["jit_steps_per_s"] = round(_time_rollouts(
-            jits, params, aa, w0, args.n1, args.n2, args.reps), 1)
-        results["exported_steps_per_s"] = round(_time_rollouts(
-            bundles, params, aa, w0, args.n1, args.n2, args.reps), 1)
+        rates = _time_rollouts({"jit": jits, "exported": bundles},
+                               params, aa, w0, args.n1, args.n2, args.reps)
+        results["jit_steps_per_s"] = round(rates["jit"], 1)
+        results["exported_steps_per_s"] = round(rates["exported"], 1)
 
     print(json.dumps(results, indent=2))
     if args.out:
