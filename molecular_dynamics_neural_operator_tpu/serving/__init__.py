@@ -1,4 +1,5 @@
-"""Serving subsystem: AOT-exported rollout bundles (see serving/export.py)."""
+"""Serving subsystem: AOT-exported rollout bundles (serving/export.py) and
+the continuous-batching online server (serving/server.py)."""
 
 from molecular_dynamics_neural_operator_tpu.serving.export import (
     ServingBundle,
@@ -6,8 +7,14 @@ from molecular_dynamics_neural_operator_tpu.serving.export import (
     load_bundle,
     save_bundle,
 )
+from molecular_dynamics_neural_operator_tpu.serving.server import (
+    RolloutResult,
+    RolloutServer,
+)
 
 __all__ = [
+    "RolloutResult",
+    "RolloutServer",
     "ServingBundle",
     "export_rollout",
     "load_bundle",

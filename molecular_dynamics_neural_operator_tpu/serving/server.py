@@ -1,0 +1,393 @@
+"""Continuous-batching rollout server: many concurrent trajectories, one chip.
+
+The reference has no online-serving story — inference is a notebook cell
+re-running ``recursive_propagation`` one trajectory at a time
+(``/root/reference/bba_analysis.ipynb`` cells 12-20,
+``/root/reference/graph_kernel.py:396-413``). On TPU the economics are
+different: the per-chip rollout throughput is ~flat in the stream count
+(HBM-bound, see docs/PERFORMANCE.md "Multi-stream serving"), so a serving
+host wants to batch every concurrent request onto the stream axis of ONE
+compiled program rather than queue them end to end.
+
+XLA wants static shapes; requests arrive whenever they like and ask for
+whatever horizon they like. The bridge is the same iteration-level
+scheduling trick LLM serving uses, at rollout-segment granularity:
+
+- The server compiles ONE segment program per (quantized) stream count:
+  ``vmap``-over-streams of the jitted ``rollout_scan`` for a fixed
+  ``segment_steps`` horizon, returning each stream's collected coordinates
+  AND its final window (the autoregressive carry).
+- A scheduler thread packs all in-flight requests onto the stream axis,
+  runs one segment, scatters the results, and re-packs. Requests join and
+  leave at segment boundaries — a 10,000-step request and a 100-step
+  request share the chip instead of the short one waiting behind the long
+  one.
+- Stream counts are quantized to powers of two (pad slots replay a live
+  window and are discarded), so the compile cache holds at most
+  ``log2(max_streams) + 1`` programs no matter the traffic pattern.
+
+Segment chaining is exact: ``lax.scan`` over 64 steps then 36 from the
+carried window runs the identical op sequence as one 100-step scan, so a
+request's stitched trajectory is bitwise what a dedicated single-stream
+rollout would have produced (pinned in tests/test_serving_server.py).
+
+``impl="persistent"`` swaps the segment program for the grid-over-steps
+Pallas kernel (``ops/pallas/persistent_rollout.py``) whose in-kernel
+stream loop keeps weights VMEM-resident; it requires every request to
+share one amino-acid sequence (the kernel embeds it once), which matches
+the deployment it exists for — many concurrent forecasts of one protein.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["RolloutResult", "RolloutServer"]
+
+
+@dataclasses.dataclass(frozen=True)
+class RolloutResult:
+    """What a completed request resolves to."""
+
+    coords: np.ndarray  # (num_steps, R, 3) float32 predicted coordinates
+    final_window: np.ndarray  # (T, R, 3) — resubmit to continue the stream
+    edge_overflow: bool  # a graph rebuild hit a static capacity en route
+
+
+@dataclasses.dataclass
+class _Request:
+    aa: np.ndarray  # (R,) int32
+    window: np.ndarray  # (T, R, 3) float32 — current carry
+    remaining: int
+    chunks: list  # list of (take_i, R, 3) arrays, stitched at completion
+    overflow: bool
+    future: Future
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+class RolloutServer:
+    """Batches concurrent autoregressive-rollout requests onto one chip.
+
+    ``submit(aa, window, num_steps)`` returns a ``concurrent.futures.
+    Future`` resolving to a :class:`RolloutResult`. Any number of threads
+    (or socket handlers — see ``cli/serve.py``) may submit concurrently;
+    everything in flight shares each compiled segment.
+
+    Knobs:
+
+    - ``segment_steps``: scheduling quantum. Joins/leaves happen at segment
+      boundaries, and a request's tail segment computes the full quantum
+      with the overhang discarded host-side — so small values cut both
+      join latency and tail waste, large values amortize the per-segment
+      host round-trip. 64 is a good default on the tunnel-attached chip.
+    - ``max_streams``: stream-axis capacity per segment. Per-chip rollout
+      throughput is ~flat in streams, so this bounds VMEM/HBM pressure and
+      per-request latency spread, not aggregate speed.
+    - ``impl``: "scan" (XLA, per-request amino-acid sequences) or
+      "persistent" (Pallas kernel, one shared sequence passed as ``aa``).
+    """
+
+    def __init__(
+        self,
+        params,
+        cfg,
+        *,
+        segment_steps: int = 64,
+        max_streams: int = 8,
+        threshold: float = 8.0,
+        clip: Optional[float] = None,
+        impl: str = "scan",
+        aa: Optional[np.ndarray] = None,
+        stream_chunk: Optional[int] = None,
+    ):
+        if segment_steps < 1:
+            raise ValueError("segment_steps must be >= 1")
+        if max_streams < 1:
+            raise ValueError("max_streams must be >= 1")
+        if impl not in ("scan", "persistent"):
+            raise ValueError(f"unknown impl: {impl!r}")
+        if impl == "persistent" and aa is None:
+            raise ValueError(
+                "impl='persistent' embeds one amino-acid sequence in the "
+                "kernel; pass it as aa= (every request must match it)"
+            )
+        if stream_chunk is not None and impl != "scan":
+            raise ValueError("stream_chunk applies to impl='scan' only")
+        self._params = params
+        self._cfg = cfg
+        self._segment_steps = int(segment_steps)
+        self._max_streams = int(max_streams)
+        self._threshold = float(threshold)
+        self._clip = clip
+        self._impl = impl
+        self._stream_chunk = stream_chunk
+        self._server_aa = None if aa is None else np.asarray(aa, np.int32)
+
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._active: list[_Request] = []
+        self._stats_lock = threading.Lock()
+        self._stats = {
+            "segments_run": 0,
+            "steps_computed": 0,  # segment_steps x padded stream count
+            "steps_served": 0,  # steps that landed in a request's output
+            "requests_completed": 0,
+        }
+        self._stopping = False
+        self._cancel = False
+        self._fatal: Optional[BaseException] = None
+        self._segment = self._build_segment()
+        self._thread = threading.Thread(
+            target=self._scheduler_loop, name="rollout-server", daemon=True
+        )
+        self._thread.start()
+
+    # -- compiled segment -------------------------------------------------
+
+    def _build_segment(self):
+        import jax
+
+        cfg = self._cfg
+        if self._impl == "persistent":
+            from molecular_dynamics_neural_operator_tpu.ops.pallas.persistent_rollout import (  # noqa: E501
+                make_persistent_rollout_fn,
+            )
+
+            roll = make_persistent_rollout_fn(
+                cfg, self._segment_steps, self._threshold, clip=self._clip
+            )
+            aa_dev = jax.numpy.asarray(self._server_aa)
+
+            def run(params, aa_b, win_b):
+                # aa_b is validated identical across the batch at submit
+                # time; the kernel takes the single shared sequence.
+                return roll(params, aa_dev, win_b)
+
+            return run
+
+        from molecular_dynamics_neural_operator_tpu.rollout.scan import (
+            rollout_scan,
+        )
+
+        def one(params, a, w):
+            return rollout_scan(
+                params, cfg, a, w, self._segment_steps, self._threshold,
+                "last", "coords", self._clip,
+            )
+
+        def segment(params, aa_b, win_b):
+            run = jax.vmap(lambda a, w: one(params, a, w))
+            if self._stream_chunk is None:
+                return run(aa_b, win_b)
+            s = aa_b.shape[0]
+            c = self._stream_chunk
+            if s % c:  # pad sizes are powers of two; enforced in __init__
+                return run(aa_b, win_b)
+            resh = lambda x: x.reshape((s // c, c) + x.shape[1:])  # noqa: E731
+            out = jax.lax.map(lambda ab: run(*ab), (resh(aa_b), resh(win_b)))
+            return jax.tree_util.tree_map(
+                lambda x: x.reshape((s,) + x.shape[2:]), out
+            )
+
+        return jax.jit(segment)
+
+    # -- public API --------------------------------------------------------
+
+    def submit(self, aa, window, num_steps: int) -> Future:
+        """Enqueue one rollout request; returns a Future[RolloutResult]."""
+        cfg = self._cfg
+        if self._stopping:
+            raise RuntimeError("server is shut down")
+        if self._fatal is not None:
+            raise RuntimeError(
+                "server scheduler died"
+            ) from self._fatal
+        aa = np.asarray(aa, np.int32)
+        window = np.asarray(window, np.float32)
+        r, t = cfg.num_residues, cfg.window_size
+        if aa.shape != (r,):
+            raise ValueError(f"aa must be ({r},), got {aa.shape}")
+        if window.shape != (t, r, 3):
+            raise ValueError(
+                f"window must be ({t}, {r}, 3), got {window.shape}"
+            )
+        if int(num_steps) < 1:
+            raise ValueError("num_steps must be >= 1")
+        if self._server_aa is not None and not np.array_equal(
+            aa, self._server_aa
+        ):
+            raise ValueError(
+                "impl='persistent' serves one amino-acid sequence; the "
+                "request's aa differs from the server's"
+            )
+        req = _Request(aa=aa, window=window, remaining=int(num_steps),
+                       chunks=[], overflow=False, future=Future())
+        self._queue.put(req)
+        return req.future
+
+    def rollout(self, aa, window, num_steps: int,
+                timeout: Optional[float] = None) -> RolloutResult:
+        """Blocking convenience wrapper around :meth:`submit`."""
+        return self.submit(aa, window, num_steps).result(timeout=timeout)
+
+    def warmup(self, batch_sizes=None) -> None:
+        """Pre-compile segment programs so first requests don't pay the
+        trace+compile. Default: every quantized size up to max_streams."""
+        import jax
+
+        cfg = self._cfg
+        if batch_sizes is None:
+            batch_sizes, s = [], 1
+            while s <= self._max_streams:
+                batch_sizes.append(s)
+                s *= 2
+        r, t = cfg.num_residues, cfg.window_size
+        aa = (np.zeros((r,), np.int32) if self._server_aa is None
+              else self._server_aa)
+        win = np.zeros((t, r, 3), np.float32)
+        for s in batch_sizes:
+            out = self._segment(
+                self._params,
+                np.broadcast_to(aa, (s, r)).copy(),
+                np.broadcast_to(win, (s, t, r, 3)).copy(),
+            )
+            jax.block_until_ready(out)
+
+    @property
+    def stats(self) -> dict:
+        with self._stats_lock:
+            out = dict(self._stats)
+        out["occupancy"] = (
+            out["steps_served"] / out["steps_computed"]
+            if out["steps_computed"] else 0.0
+        )
+        return out
+
+    def close(self, drain: bool = True) -> None:
+        """Stop the scheduler. ``drain=True`` serves everything already
+        submitted first; ``drain=False`` cancels queued+active requests."""
+        self._stopping = True
+        self._cancel = not drain  # the scheduler thread does the dropping
+        self._queue.put(None)  # wake the scheduler
+        self._thread.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close(drain=exc == (None, None, None))
+
+    # -- scheduler ---------------------------------------------------------
+
+    def _drop_pending(self, err: BaseException) -> None:
+        for req in self._active:
+            req.future.set_exception(err)
+        self._active = []
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if req is not None:
+                req.future.set_exception(err)
+
+    def _admit(self) -> bool:
+        """Move queued requests into the active set. Blocks when idle.
+        Returns False when the server should exit."""
+        block = not self._active
+        while len(self._active) < self._max_streams:
+            try:
+                req = self._queue.get(timeout=0.05 if block else 0)
+            except queue.Empty:
+                if not block:
+                    return True
+                if self._stopping:
+                    return False
+                continue
+            if req is None:  # close() sentinel
+                if self._stopping and not self._active \
+                        and self._queue.empty():
+                    return False
+                continue
+            self._active.append(req)
+            block = False
+        return True
+
+    def _scheduler_loop(self) -> None:
+        import jax
+
+        try:
+            while True:
+                if self._cancel:
+                    self._drop_pending(RuntimeError("server shut down"))
+                    return
+                if not self._admit():
+                    return
+                if not self._active:
+                    continue
+                batch = self._active
+                s_pad = min(_next_pow2(len(batch)), self._max_streams)
+                aa_b = np.stack(
+                    [batch[i % len(batch)].aa for i in range(s_pad)]
+                )
+                win_b = np.stack(
+                    [batch[i % len(batch)].window for i in range(s_pad)]
+                )
+                coords, final_w, diags = self._segment(
+                    self._params, aa_b, win_b
+                )
+                coords, final_w, over = jax.device_get(
+                    (coords, final_w, diags["edge_overflow"])
+                )
+                over = np.broadcast_to(np.asarray(over), (s_pad,))
+                served = 0
+                still_active = []
+                for i, req in enumerate(batch):
+                    take = min(req.remaining, self._segment_steps)
+                    req.chunks.append(
+                        np.asarray(coords[i][:take], np.float32)
+                    )
+                    if take == self._segment_steps:
+                        req.window = np.asarray(final_w[i], np.float32)
+                    else:
+                        # tail segment: the program ran the full quantum;
+                        # re-derive the carry after only `take` steps
+                        t = req.window.shape[0]
+                        req.window = np.concatenate(
+                            [req.window, req.chunks[-1]], axis=0
+                        )[-t:]
+                    req.overflow |= bool(over[i])
+                    req.remaining -= take
+                    served += take
+                    if req.remaining:
+                        still_active.append(req)
+                    else:
+                        req.future.set_result(RolloutResult(
+                            coords=np.concatenate(req.chunks, axis=0),
+                            final_window=req.window,
+                            edge_overflow=req.overflow,
+                        ))
+                self._active = still_active
+                with self._stats_lock:
+                    self._stats["segments_run"] += 1
+                    self._stats["steps_computed"] += (
+                        s_pad * self._segment_steps
+                    )
+                    self._stats["steps_served"] += served
+                    self._stats["requests_completed"] += (
+                        len(batch) - len(still_active)
+                    )
+        except BaseException as e:  # noqa: BLE001 — fail every waiter
+            self._fatal = e
+            self._drop_pending(e)
