@@ -50,6 +50,10 @@ def parse_args(argv=None):
                         "send the same one")
     p.add_argument("--max_request_steps", type=int, default=100_000,
                    help="reject requests asking for more steps than this")
+    p.add_argument("--data_mesh", type=int, default=0,
+                   help=">0: shard each segment's stream axis over a "
+                        "data-axis mesh of that many devices (multi-chip "
+                        "serving; impl=scan, max_streams must divide)")
     # model flags (ignored when --run_path provides config.json)
     p.add_argument("--width", type=int, default=64)
     p.add_argument("--kernel_width", type=int, default=1024)
@@ -167,10 +171,19 @@ def serve(params, cfg, args, *, ready: dict | None = None):
         import numpy as np
 
         aa = np.load(args.aa_npy)
+    mesh = None
+    if args.data_mesh > 0:
+        from molecular_dynamics_neural_operator_tpu.configs import MeshConfig
+        from molecular_dynamics_neural_operator_tpu.parallel.mesh import (
+            make_mesh,
+        )
+
+        mesh = make_mesh(MeshConfig(data=args.data_mesh, model=1))
     rollout_server = RolloutServer(
         params, cfg,
         segment_steps=args.segment_steps, max_streams=args.max_streams,
         threshold=args.threshold, clip=args.clip, impl=args.impl, aa=aa,
+        mesh=mesh,
     )
     tcp = RolloutTCPServer((args.host, args.port), rollout_server,
                            args.max_request_steps)

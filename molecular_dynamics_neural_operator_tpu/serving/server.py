@@ -77,6 +77,13 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def _pad_size(n: int, max_streams: int, shards: int) -> int:
+    """Quantized stream count for a batch of n requests: shards x a power
+    of two (so each device gets an identical local shard), capped at
+    max_streams. Bounds the compile cache at log2(max/shards)+1 programs."""
+    return min(shards * _next_pow2(-(-n // shards)), max_streams)
+
+
 class RolloutServer:
     """Batches concurrent autoregressive-rollout requests onto one chip.
 
@@ -97,6 +104,11 @@ class RolloutServer:
       per-request latency spread, not aggregate speed.
     - ``impl``: "scan" (XLA, per-request amino-acid sequences) or
       "persistent" (Pallas kernel, one shared sequence passed as ``aa``).
+    - ``mesh``: shard the batch's stream axis over a device mesh's
+      ``data_axis`` (impl="scan") — multi-chip serving from one front
+      door. Streams are independent, so aggregate capacity is
+      chips x per-chip rate with zero inter-chip traffic during the
+      segment; batch sizes quantize to mesh-size x powers of two.
     """
 
     def __init__(
@@ -111,6 +123,8 @@ class RolloutServer:
         impl: str = "scan",
         aa: Optional[np.ndarray] = None,
         stream_chunk: Optional[int] = None,
+        mesh=None,
+        data_axis: str = "data",
     ):
         if segment_steps < 1:
             raise ValueError("segment_steps must be >= 1")
@@ -125,6 +139,21 @@ class RolloutServer:
             )
         if stream_chunk is not None and impl != "scan":
             raise ValueError("stream_chunk applies to impl='scan' only")
+        if mesh is not None:
+            if impl != "scan":
+                raise ValueError(
+                    "mesh sharding applies to impl='scan' (the persistent "
+                    "kernel is a per-chip program; run one server per chip)"
+                )
+            n = mesh.shape[data_axis]
+            if max_streams % n:
+                raise ValueError(
+                    f"max_streams {max_streams} must be divisible by the "
+                    f"'{data_axis}' axis size {n}"
+                )
+        self._mesh = mesh
+        self._data_axis = data_axis
+        self._shards = 1 if mesh is None else int(mesh.shape[data_axis])
         self._params = params
         self._cfg = cfg
         self._segment_steps = int(segment_steps)
@@ -185,6 +214,31 @@ class RolloutServer:
                 params, cfg, a, w, self._segment_steps, self._threshold,
                 "last", "coords", self._clip,
             )
+
+        if self._mesh is not None:
+            # Multi-chip serving: the batch's stream axis (and each
+            # request's amino-acid sequence) shards over the mesh; every
+            # device runs the segment scan on its local streams with zero
+            # inter-chip traffic (streams are independent; the per-stream
+            # overflow diagnostic stays sharded too).
+            from functools import partial
+
+            from jax.sharding import PartitionSpec as P
+
+            def local(params, aa_b, win_b):
+                return jax.vmap(lambda a, w: one(params, a, w))(aa_b, win_b)
+
+            # check_vma=False for the same reason as rollout_sharded.py:
+            # the scan's overflow carry starts device-invariant and turns
+            # device-varying mid-scan, which the checker rejects.
+            sh = P(self._data_axis)
+            return jax.jit(partial(
+                jax.shard_map,
+                mesh=self._mesh,
+                in_specs=(P(), sh, sh),
+                out_specs=((sh, sh, {"edge_overflow": sh})),
+                check_vma=False,
+            )(local))
 
         def segment(params, aa_b, win_b):
             run = jax.vmap(lambda a, w: one(params, a, w))
@@ -248,7 +302,7 @@ class RolloutServer:
 
         cfg = self._cfg
         if batch_sizes is None:
-            batch_sizes, s = [], 1
+            batch_sizes, s = [], self._shards
             while s <= self._max_streams:
                 batch_sizes.append(s)
                 s *= 2
@@ -337,7 +391,8 @@ class RolloutServer:
                 if not self._active:
                     continue
                 batch = self._active
-                s_pad = min(_next_pow2(len(batch)), self._max_streams)
+                s_pad = _pad_size(len(batch), self._max_streams,
+                                  self._shards)
                 aa_b = np.stack(
                     [batch[i % len(batch)].aa for i in range(s_pad)]
                 )

@@ -121,6 +121,43 @@ def test_more_requests_than_streams(setup):
         np.testing.assert_allclose(res.coords, want, rtol=1e-4, atol=1e-5)
 
 
+def test_mesh_sharded_serving(setup):
+    # multi-chip serving on the 8-device virtual mesh: per-request aa,
+    # mixed lengths, results match dedicated rollouts
+    cfg, params, traj = setup
+    from molecular_dynamics_neural_operator_tpu.configs import MeshConfig
+    from molecular_dynamics_neural_operator_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    rng = np.random.default_rng(7)
+    reqs = [(rng.integers(0, 20, size=10).astype(np.int32),
+             traj.positions[i : i + 4], 3 + 2 * i) for i in range(6)]
+    with RolloutServer(params, cfg, segment_steps=4, max_streams=8,
+                       mesh=mesh) as srv:
+        futs = [srv.submit(a, w, n) for a, w, n in reqs]
+        results = [f.result(timeout=120) for f in futs]
+        stats = srv.stats
+    for (a, w, n), res in zip(reqs, results):
+        want, _ = _direct(params, cfg, a, w, n)
+        np.testing.assert_allclose(res.coords, want, rtol=1e-4, atol=1e-5)
+    assert stats["requests_completed"] == 6
+    # batch sizes quantize to mesh-size multiples: 6 active -> 8 streams
+    assert stats["steps_computed"] % 4 == 0
+
+
+def test_mesh_requires_divisible_max_streams(setup):
+    cfg, params, _ = setup
+    from molecular_dynamics_neural_operator_tpu.configs import MeshConfig
+    from molecular_dynamics_neural_operator_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    with pytest.raises(ValueError, match="divisible"):
+        RolloutServer(params, cfg, max_streams=6, mesh=mesh)
+    with pytest.raises(ValueError, match="per-chip program"):
+        RolloutServer(params, cfg, max_streams=8, mesh=mesh,
+                      impl="persistent", aa=np.zeros(10, np.int32))
+
+
 def test_submit_validation(setup):
     cfg, params, traj = setup
     srv = RolloutServer(params, cfg, segment_steps=4, max_streams=2)
