@@ -63,10 +63,10 @@ class RolloutResult:
 @dataclasses.dataclass
 class _Request:
     aa: np.ndarray  # (R,) int32
-    window: np.ndarray  # (T, R, 3) float32 — current carry
+    window: object  # (T, R, 3) carry: host np at submit, device after
     remaining: int
-    chunks: list  # list of (take_i, R, 3) arrays, stitched at completion
-    overflow: bool
+    chunks: list  # device handles, (take_i, R, 3) each, read at completion
+    overflow: object  # None, then a device bool scalar OR'd per segment
     future: Future
 
 
@@ -82,6 +82,16 @@ def _pad_size(n: int, max_streams: int, shards: int) -> int:
     of two (so each device gets an identical local shard), capped at
     max_streams. Bounds the compile cache at log2(max/shards)+1 programs."""
     return min(shards * _next_pow2(-(-n // shards)), max_streams)
+
+
+@dataclasses.dataclass
+class _SegmentMarker:
+    """Pacing token: the reader device_gets it, which (a) bounds how far
+    the scheduler can dispatch ahead of the chip (the read queue is
+    bounded) and (b) overlaps result transfers with the next segment's
+    compute instead of serializing them."""
+
+    handle: object
 
 
 class RolloutServer:
@@ -109,6 +119,16 @@ class RolloutServer:
       door. Streams are independent, so aggregate capacity is
       chips x per-chip rate with zero inter-chip traffic during the
       segment; batch sizes quantize to mesh-size x powers of two.
+
+    Pipelining: the scheduler thread only dispatches (XLA dispatch is
+    async; each request's carry window stays on device as a lazy slice of
+    the previous segment's outputs), while a reader thread materializes
+    finished requests — host transfers overlap the next segment's
+    compute, and a bounded queue caps dispatch-ahead at ~8 segments.
+    Cost: a request's predicted coordinates stay resident on device until
+    it completes (num_steps x R x 3 floats per request). For huge-system
+    x long-horizon requests where that matters, split the horizon
+    client-side — ``final_window`` is designed to be resubmitted.
     """
 
     def __init__(
@@ -177,6 +197,18 @@ class RolloutServer:
         self._cancel = False
         self._fatal: Optional[BaseException] = None
         self._segment = self._build_segment()
+        # Software pipeline: the scheduler thread only DISPATCHES segments
+        # (XLA dispatch is async; request carries stay on device as lazy
+        # slices of the previous segment's outputs), and this reader thread
+        # materializes finished requests — so host transfers overlap the
+        # next segment's compute. The bounded queue is the back-pressure:
+        # at most maxsize dispatched-but-unread segments in flight.
+        self._read_queue: "queue.Queue" = queue.Queue(maxsize=8)
+        self._reader = threading.Thread(
+            target=self._reader_loop, name="rollout-server-reader",
+            daemon=True,
+        )
+        self._reader.start()
         self._thread = threading.Thread(
             target=self._scheduler_loop, name="rollout-server", daemon=True
         )
@@ -286,7 +318,7 @@ class RolloutServer:
                 "request's aa differs from the server's"
             )
         req = _Request(aa=aa, window=window, remaining=int(num_steps),
-                       chunks=[], overflow=False, future=Future())
+                       chunks=[], overflow=None, future=Future())
         self._queue.put(req)
         return req.future
 
@@ -335,6 +367,8 @@ class RolloutServer:
         self._cancel = not drain  # the scheduler thread does the dropping
         self._queue.put(None)  # wake the scheduler
         self._thread.join()
+        self._read_queue.put(None)  # scheduler is done enqueueing reads
+        self._reader.join()
 
     def __enter__(self):
         return self
@@ -379,8 +413,10 @@ class RolloutServer:
         return True
 
     def _scheduler_loop(self) -> None:
-        import jax
+        import jax.numpy as jnp
 
+        seg = self._segment_steps
+        t_len = self._cfg.window_size
         try:
             while True:
                 if self._cancel:
@@ -396,53 +432,78 @@ class RolloutServer:
                 aa_b = np.stack(
                     [batch[i % len(batch)].aa for i in range(s_pad)]
                 )
-                win_b = np.stack(
-                    [batch[i % len(batch)].window for i in range(s_pad)]
-                )
+                wins = [batch[i % len(batch)].window for i in range(s_pad)]
+                win_b = (np.stack(wins)
+                         if all(isinstance(w, np.ndarray) for w in wins)
+                         else jnp.stack([jnp.asarray(w) for w in wins]))
+                # async dispatch: nothing below reads a device value
                 coords, final_w, diags = self._segment(
                     self._params, aa_b, win_b
                 )
-                coords, final_w, over = jax.device_get(
-                    (coords, final_w, diags["edge_overflow"])
-                )
-                over = np.broadcast_to(np.asarray(over), (s_pad,))
+                over = diags["edge_overflow"]
+                over_scalar = getattr(over, "ndim", 0) == 0
                 served = 0
-                still_active = []
+                still_active, completed = [], []
                 for i, req in enumerate(batch):
-                    take = min(req.remaining, self._segment_steps)
-                    req.chunks.append(
-                        np.asarray(coords[i][:take], np.float32)
-                    )
-                    if take == self._segment_steps:
-                        req.window = np.asarray(final_w[i], np.float32)
+                    take = min(req.remaining, seg)
+                    chunk = coords[i] if take == seg else coords[i][:take]
+                    req.chunks.append(chunk)
+                    if take == seg:
+                        req.window = final_w[i]
                     else:
                         # tail segment: the program ran the full quantum;
                         # re-derive the carry after only `take` steps
-                        t = req.window.shape[0]
-                        req.window = np.concatenate(
-                            [req.window, req.chunks[-1]], axis=0
-                        )[-t:]
-                    req.overflow |= bool(over[i])
+                        req.window = jnp.concatenate(
+                            [jnp.asarray(req.window, jnp.float32), chunk],
+                            axis=0,
+                        )[-t_len:]
+                    ov = over if over_scalar else over[i]
+                    req.overflow = (ov if req.overflow is None
+                                    else req.overflow | ov)
                     req.remaining -= take
                     served += take
-                    if req.remaining:
-                        still_active.append(req)
-                    else:
-                        req.future.set_result(RolloutResult(
-                            coords=np.concatenate(req.chunks, axis=0),
-                            final_window=req.window,
-                            edge_overflow=req.overflow,
-                        ))
+                    (still_active if req.remaining
+                     else completed).append(req)
                 self._active = still_active
                 with self._stats_lock:
                     self._stats["segments_run"] += 1
-                    self._stats["steps_computed"] += (
-                        s_pad * self._segment_steps
-                    )
+                    self._stats["steps_computed"] += s_pad * seg
                     self._stats["steps_served"] += served
-                    self._stats["requests_completed"] += (
-                        len(batch) - len(still_active)
-                    )
+                for req in completed:
+                    self._read_queue.put(req)
+                self._read_queue.put(_SegmentMarker(over))
         except BaseException as e:  # noqa: BLE001 — fail every waiter
             self._fatal = e
             self._drop_pending(e)
+
+    def _reader_loop(self) -> None:
+        import jax
+
+        while True:
+            item = self._read_queue.get()
+            if item is None:
+                return
+            if isinstance(item, _SegmentMarker):
+                try:
+                    jax.device_get(item.handle)  # sync to that segment
+                except Exception:  # noqa: BLE001 — scheduler reports it
+                    pass
+                continue
+            req = item
+            try:
+                chunks, window, over = jax.device_get(
+                    (req.chunks, req.window, req.overflow)
+                )
+                coords = np.concatenate(
+                    [np.asarray(c, np.float32) for c in chunks], axis=0
+                )
+                with self._stats_lock:
+                    self._stats["requests_completed"] += 1
+                req.future.set_result(RolloutResult(
+                    coords=coords,
+                    final_window=np.asarray(window, np.float32),
+                    edge_overflow=bool(np.asarray(over)),
+                ))
+            except BaseException as e:  # noqa: BLE001
+                if not req.future.done():
+                    req.future.set_exception(e)
