@@ -94,6 +94,28 @@ class _SegmentMarker:
     handle: object
 
 
+class _Glue:
+    """Jitted scheduler glue. Eager ``jnp`` ops pay a per-dispatch RPC on
+    remote-attached backends (~14 ms each on the axon tunnel, measured),
+    and the scheduler issues ~4 per active request per segment — which at
+    segment_steps=256 cost MORE than the segment's compute. Jitted calls
+    dispatch in ~0.06 ms, so every per-segment device op goes through one
+    of these (one tiny compile per array shape, batch sizes are quantized
+    so the cache stays small)."""
+
+    def __init__(self):
+        import jax
+        import jax.numpy as jnp
+
+        self.stack = jax.jit(lambda ws: jnp.stack(ws))
+        # python-int index traces as a weak scalar: ONE compile serves
+        # every slot index of a given array shape.
+        self.index = jax.jit(
+            lambda a, i: jax.lax.dynamic_index_in_dim(a, i, 0, False)
+        )
+        self.or_ = jax.jit(lambda a, b: a | b)
+
+
 class RolloutServer:
     """Batches concurrent autoregressive-rollout requests onto one chip.
 
@@ -196,6 +218,7 @@ class RolloutServer:
         self._stopping = False
         self._cancel = False
         self._fatal: Optional[BaseException] = None
+        self._glue = _Glue()
         self._segment = self._build_segment()
         # Software pipeline: the scheduler thread only DISPATCHES segments
         # (XLA dispatch is async; request carries stay on device as lazy
@@ -343,11 +366,20 @@ class RolloutServer:
               else self._server_aa)
         win = np.zeros((t, r, 3), np.float32)
         for s in batch_sizes:
-            out = self._segment(
+            coords, final_w, diags = self._segment(
                 self._params,
                 np.broadcast_to(aa, (s, r)).copy(),
                 np.broadcast_to(win, (s, t, r, 3)).copy(),
             )
+            # pre-trace the scheduler glue at this batch size too, so the
+            # first live segment pays zero compiles
+            over = diags["edge_overflow"]
+            self._glue.index(coords, 0)
+            w0 = self._glue.index(final_w, 0)
+            if getattr(over, "ndim", 0):
+                ov = self._glue.index(over, 0)
+                self._glue.or_(ov, ov)
+            out = self._glue.stack([w0] * s)
             jax.block_until_ready(out)
 
     @property
@@ -435,7 +467,10 @@ class RolloutServer:
                 wins = [batch[i % len(batch)].window for i in range(s_pad)]
                 win_b = (np.stack(wins)
                          if all(isinstance(w, np.ndarray) for w in wins)
-                         else jnp.stack([jnp.asarray(w) for w in wins]))
+                         else self._glue.stack(
+                             [np.asarray(w, np.float32)
+                              if isinstance(w, np.ndarray) else w
+                              for w in wins]))
                 # async dispatch: nothing below reads a device value
                 coords, final_w, diags = self._segment(
                     self._params, aa_b, win_b
@@ -446,10 +481,11 @@ class RolloutServer:
                 still_active, completed = [], []
                 for i, req in enumerate(batch):
                     take = min(req.remaining, seg)
-                    chunk = coords[i] if take == seg else coords[i][:take]
+                    full = self._glue.index(coords, i)
+                    chunk = full if take == seg else full[:take]
                     req.chunks.append(chunk)
                     if take == seg:
-                        req.window = final_w[i]
+                        req.window = self._glue.index(final_w, i)
                     else:
                         # tail segment: the program ran the full quantum;
                         # re-derive the carry after only `take` steps
@@ -457,9 +493,9 @@ class RolloutServer:
                             [jnp.asarray(req.window, jnp.float32), chunk],
                             axis=0,
                         )[-t_len:]
-                    ov = over if over_scalar else over[i]
+                    ov = over if over_scalar else self._glue.index(over, i)
                     req.overflow = (ov if req.overflow is None
-                                    else req.overflow | ov)
+                                    else self._glue.or_(req.overflow, ov))
                     req.remaining -= take
                     served += take
                     (still_active if req.remaining
@@ -471,7 +507,17 @@ class RolloutServer:
                     self._stats["steps_served"] += served
                 for req in completed:
                     self._read_queue.put(req)
-                self._read_queue.put(_SegmentMarker(over))
+                # Pacing marker every 8th segment (not every segment): a
+                # marker read costs one device round trip (~0.4 s on the
+                # tunnel) REGARDLESS of data size, and with a marker per
+                # segment the bounded read queue paces dispatch at that
+                # round trip — slower than the segment's own compute.
+                # Every 8th bounds dispatch-ahead at ~64 segments (a few
+                # tens of MB of resident coords) while the pacing cost
+                # amortizes to ~50 ms/segment; completed-request reads
+                # provide the fine-grained sync under real traffic.
+                if self._stats["segments_run"] % 8 == 0:
+                    self._read_queue.put(_SegmentMarker(over))
         except BaseException as e:  # noqa: BLE001 — fail every waiter
             self._fatal = e
             self._drop_pending(e)
@@ -491,12 +537,22 @@ class RolloutServer:
                 continue
             req = item
             try:
-                chunks, window, over = jax.device_get(
-                    (req.chunks, req.window, req.overflow)
+                import jax.numpy as jnp
+
+                # Coalesce the request's per-segment chunks ON DEVICE so
+                # completion costs one transfer, not one per segment —
+                # the mixed-traffic scenario of tools/serving_server_bench
+                # measured 13.3 -> 4.4 s end-to-end on the tunnel-attached
+                # chip; on a PCIe-attached host it still saves the
+                # per-array transfer overhead.
+                coords_dev = (req.chunks[0] if len(req.chunks) == 1
+                              else jnp.concatenate(
+                                  [jnp.asarray(c) for c in req.chunks],
+                                  axis=0))
+                coords, window, over = jax.device_get(
+                    (coords_dev, req.window, req.overflow)
                 )
-                coords = np.concatenate(
-                    [np.asarray(c, np.float32) for c in chunks], axis=0
-                )
+                coords = np.asarray(coords, np.float32)
                 with self._stats_lock:
                     self._stats["requests_completed"] += 1
                 req.future.set_result(RolloutResult(
