@@ -77,10 +77,12 @@ def _serve_all(srv, aa, w0, horizons):
     return time.perf_counter() - t0
 
 
-def bench_saturated(cfg, params, aa, w0, streams, seg, n1, n2, reps):
+def bench_saturated(cfg, params, aa, w0, streams, seg, n1, n2, reps,
+                    impl="scan"):
     """Slope agg steps/s through the server vs the raw batched rollout."""
+    kw = {} if impl == "scan" else {"impl": "persistent", "aa": aa}
     with RolloutServer(params, cfg, segment_steps=seg,
-                       max_streams=streams) as srv:
+                       max_streams=streams, **kw) as srv:
         srv.warmup([streams])
         times = {}
         for n in (n1, n2):
@@ -107,6 +109,7 @@ def bench_saturated(cfg, params, aa, w0, streams, seg, n1, n2, reps):
         times_raw[n] = min(ts)
     raw_rate = streams * (n2 - n1) / (times_raw[n2] - times_raw[n1])
     return {
+        "impl": impl,
         "streams": streams,
         "segment_steps": seg,
         "server_agg_steps_per_s": round(srv_rate, 1),
@@ -160,6 +163,8 @@ def main():
     p.add_argument("--n1", type=int, default=2048)
     p.add_argument("--n2", type=int, default=16384)
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--impl", choices=["scan", "persistent"], default="scan")
+    p.add_argument("--skip_mixed", action="store_true")
     p.add_argument("--tiny", action="store_true",
                    help="CPU smoke of the tool at toy scale")
     p.add_argument("--compilation_cache", type=str, default=None,
@@ -192,14 +197,15 @@ def main():
 
     out["saturated"] = [
         bench_saturated(cfg, params, aa, w0, s, args.segment_steps,
-                        args.n1, args.n2, args.reps)
+                        args.n1, args.n2, args.reps, args.impl)
         for s in args.streams
     ]
     for row in out["saturated"]:
         print(f"[saturated] {row}", flush=True)
 
-    out["mixed"] = bench_mixed(cfg, params, aa, w0, args.segment_steps)
-    print(f"[mixed] {out['mixed']}", flush=True)
+    if not args.skip_mixed:
+        out["mixed"] = bench_mixed(cfg, params, aa, w0, args.segment_steps)
+        print(f"[mixed] {out['mixed']}", flush=True)
 
     if args.out:
         _Path(args.out).write_text(json.dumps(out, indent=2) + "\n")
