@@ -153,10 +153,17 @@ def main(argv=None):
     )
 
     want = jax.jit(_serving_fn(cfg, bundle.rollout))(params, *inputs)
-    g, w = np.asarray(got[0]), np.asarray(want[0])
-    fin = np.isfinite(g) & np.isfinite(w)
-    ok = (np.array_equal(np.isfinite(g), np.isfinite(w))
-          and np.array_equal(g[fin], w[fin]))
+    # Compare leaf-wise: with --collect both, output[0] is itself a tuple
+    # of (coords, contact_maps) and np.asarray on that ragged pair raises.
+    got_leaves = jax.tree_util.tree_leaves(got)
+    want_leaves = jax.tree_util.tree_leaves(want)
+    ok = len(got_leaves) == len(want_leaves)
+    for g_, w_ in zip(got_leaves, want_leaves):
+        g, w = np.asarray(g_), np.asarray(w_)
+        fin = np.isfinite(g) & np.isfinite(w)
+        ok = (ok and g.shape == w.shape
+              and np.array_equal(np.isfinite(g), np.isfinite(w))
+              and np.array_equal(g[fin], w[fin]))
     if not ok:
         raise SystemExit("selftest FAILED: bundle output != in-process jit")
     print(f"selftest ok: {args.num_steps}-step rollout bitwise == jit "

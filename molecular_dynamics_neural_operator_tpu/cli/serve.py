@@ -87,7 +87,16 @@ def _load(args):
         cfg_path = args.run_path / "config.json"
         run_cfg = json.loads(cfg_path.read_text())
         cfg = _from_dict(ModelConfig, run_cfg["model"])
-        ckpt = args.run_path / "best.npz"
+        # Mirror cli/export.py semantics: --checkpoint overrides the run
+        # dir's best.npz, and a missing best.npz fails with a clear
+        # message instead of an opaque np.load error.
+        ckpt = args.checkpoint
+        if ckpt is None:
+            ckpt = args.run_path / "best.npz"
+            if not ckpt.exists():
+                raise SystemExit(
+                    f"{ckpt} does not exist — pass --checkpoint explicitly"
+                )
     else:
         cfg = ModelConfig(
             width=args.width, ker_width=args.kernel_width, depth=args.depth,

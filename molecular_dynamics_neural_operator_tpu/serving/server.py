@@ -57,7 +57,14 @@ class RolloutResult:
 
     coords: np.ndarray  # (num_steps, R, 3) float32 predicted coordinates
     final_window: np.ndarray  # (T, R, 3) — resubmit to continue the stream
-    edge_overflow: bool  # a graph rebuild hit a static capacity en route
+    # A graph rebuild hit a static capacity en route. CONSERVATIVE on the
+    # final (tail) segment: the program always runs the full segment
+    # quantum, and the flag ORs over all of it, so an overflow occurring
+    # only in the discarded overhang steps (beyond the request's last
+    # served step) still flags the request. False therefore proves every
+    # served step was overflow-free; True may be a false positive from the
+    # overhang of the last partial segment.
+    edge_overflow: bool
 
 
 @dataclasses.dataclass
@@ -361,6 +368,11 @@ class RolloutServer:
             while s <= self._max_streams:
                 batch_sizes.append(s)
                 s *= 2
+            # The doubling sequence can skip the live full-load size when
+            # max_streams is not shards * 2^k (e.g. shards=4, max=12 warms
+            # 4 and 8, but _pad_size can emit 12) — warm it explicitly.
+            if batch_sizes[-1] != self._max_streams:
+                batch_sizes.append(self._max_streams)
         r, t = cfg.num_residues, cfg.window_size
         aa = (np.zeros((r,), np.int32) if self._server_aa is None
               else self._server_aa)

@@ -39,7 +39,7 @@ def train_curriculum_recipe(
     log_prefix: str = "",
     min_warmup: int = 200,
     loss_space: str = "absolute",
-    grad_steps=None,
+    grad_steps="default",
     noise_std: float = 0.0,
     divergence_limit: int = 4,
     on_divergence: str = "abort",
@@ -75,8 +75,18 @@ def train_curriculum_recipe(
       Each recovery re-jits the step functions (minutes over the dev
       tunnel) — expensive, but strictly cheaper than a dead campaign.
 
-    ``divergence_limit=0`` disables both."""
+    ``divergence_limit=0`` disables both.
+
+    ``grad_steps``: "default" resolves to 1 — truncated backprop through
+    only the LAST curriculum step, with the K-1 burn-in rollout under
+    stop_gradient. Measured a strict win on this recipe: 2.26x faster
+    end-to-end with equal-or-better rollout quality
+    (tools/accuracy_results_grad_steps_j1.json). Pass ``None`` for full
+    backprop through all K steps, or an explicit j in [1, K]."""
     import dataclasses
+
+    if grad_steps == "default":
+        grad_steps = 1 if k > 1 else None
 
     lr_scale, backoffs = 1.0, 0
 

@@ -61,9 +61,10 @@ def main():
     p.add_argument("--scheduler_gamma", type=float, default=0.8)
     p.add_argument("--loss_space", choices=["absolute", "delta"],
                    default="absolute")
-    p.add_argument("--grad_steps", type=int, default=0,
+    p.add_argument("--grad_steps", type=int, default=-1,
                    help="supervise only the last j curriculum steps "
-                        "(burn-in + truncated backprop; 0 = full BPTT)")
+                        "(burn-in + truncated backprop; 0 = full BPTT, "
+                        "-1 = recipe default, currently j=1)")
     p.add_argument("--noise_std", type=float, default=0.0,
                    help="GNS-style random-walk input-noise std on the "
                         "training windows (0 disables)")
@@ -92,7 +93,8 @@ def main():
         cfg, tcfg, ds, tr_idx, steps=args.steps, k=args.k,
         warmup_frac=args.warmup_frac, coord_clip=cc, seed=args.seed,
         loss_space=args.loss_space,
-        grad_steps=args.grad_steps if args.grad_steps > 0 else None,
+        grad_steps=("default" if args.grad_steps < 0
+                    else args.grad_steps if args.grad_steps > 0 else None),
         noise_std=args.noise_std,
     )
 
