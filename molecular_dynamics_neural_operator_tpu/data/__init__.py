@@ -12,6 +12,12 @@ from molecular_dynamics_neural_operator_tpu.data.synthetic import (
     write_synthetic_h5,
     write_synthetic_h5_streamed,
 )
+from molecular_dynamics_neural_operator_tpu.data.schema import (
+    SchemaWarning,
+    contact_maps_have_self_loops,
+    detect_pointcloud_layout,
+    normalize_amino_labels,
+)
 
 __all__ = [
     "TrajectoryData",
@@ -22,4 +28,8 @@ __all__ = [
     "synthetic_trajectory",
     "write_synthetic_h5",
     "write_synthetic_h5_streamed",
+    "SchemaWarning",
+    "contact_maps_have_self_loops",
+    "detect_pointcloud_layout",
+    "normalize_amino_labels",
 ]

@@ -26,6 +26,12 @@ from typing import Optional, Union
 
 import numpy as np
 
+from .schema import (
+    check_edge_ranges,
+    detect_pointcloud_layout,
+    normalize_amino_labels,
+)
+
 PathLike = Union[str, Path]
 
 
@@ -133,7 +139,16 @@ def _read_edges_packed(dset, max_frames: int, chunk: Optional[int] = None):
     counts = np.empty(n, np.int64)
     for i0 in range(0, n, chunk):
         raw = dset[i0:min(i0 + chunk, n)]
-        parts = [np.asarray(b).reshape(2, -1) for b in raw]
+        parts = []
+        for j, b in enumerate(raw):
+            b = np.asarray(b)
+            if b.ndim == 1 and b.size % 2:
+                raise ValueError(
+                    f"contact_map frame {i0 + j} has odd length {b.size} "
+                    "— cannot split into [rows; cols] (dataset.py:189 "
+                    "reshape contract)"
+                )
+            parts.append(b.reshape(2, -1))
         counts[i0:i0 + len(parts)] = [p.shape[1] for p in parts]
         blocks.append(
             np.concatenate(parts, axis=1).astype(np.int32, copy=False)
@@ -169,16 +184,33 @@ def load_trajectory(
         if not files:
             raise FileNotFoundError(f"no .h5 files under {path}")
 
-    # Pass 1: per-file frame counts + residue count, so positions are
-    # allocated exactly once (no transpose-then-concatenate double copy).
+    # Pass 1: per-file frame counts + residue count + point-cloud layout
+    # ((N, 3, R) reference vs already-row-major (N, R, 3), detected per
+    # file — data/schema.py), so positions are allocated exactly once
+    # (no transpose-then-concatenate double copy).
     sizes = []
+    layouts = []
     num_residues = None
     for fp in files:
         with h5py.File(fp, "r", libver="latest", swmr=False) as f:
-            shape = f[edge_attr_dset_name].shape  # (N, 3, R) on disk
+            shape = f[edge_attr_dset_name].shape
+            hint = None
+            if node_feature_dset_name in f:
+                nf_shape = f[node_feature_dset_name].shape
+                if len(nf_shape) >= 1:
+                    hint = int(nf_shape[0])
+            layout = detect_pointcloud_layout(shape, num_residues_hint=hint)
+            layouts.append(layout)
             sizes.append(min(shape[0], max_frames))
+            r = int(shape[2] if layout == "n3r" else shape[1])
             if num_residues is None:
-                num_residues = int(shape[2])
+                num_residues = r
+            elif r != num_residues:
+                raise ValueError(
+                    f"residue-count mismatch across directory files: "
+                    f"{files[0]} has {num_residues}, {fp} has {r} — "
+                    "refusing to concatenate incompatible trajectories"
+                )
 
     total = int(sum(sizes))
     positions = np.empty((total, num_residues, 3), np.float32)
@@ -195,12 +227,17 @@ def load_trajectory(
             for i0 in range(0, n, _POS_CHUNK):
                 i1 = min(i0 + _POS_CHUNK, n)
                 blk = np.asarray(dset[i0:i1])
-                # On-disk layout is (N, 3, R); reorder to (N, R, 3)
-                # (dataset.py:159) contiguously in place.
-                positions[base + i0:base + i1] = np.transpose(blk, (0, 2, 1))
+                # Reference on-disk layout is (N, 3, R); reorder to
+                # (N, R, 3) (dataset.py:159) contiguously in place. Files
+                # already saved (N, R, 3) are detected in pass 1 and NOT
+                # double-transposed.
+                if layouts[i] == "n3r":
+                    blk = np.transpose(blk, (0, 2, 1))
+                positions[base + i0:base + i1] = blk
             blocks, counts = _read_edges_packed(
                 f[edge_index_dset_name], n
             )
+            check_edge_ranges(blocks, num_residues, file_label=str(fp))
             edge_blocks.extend(blocks)
             counts_list.append(counts)
             if "rmsd" in f:
@@ -236,8 +273,8 @@ def load_trajectory(
     return TrajectoryData(
         positions=positions,
         edge_indices=None,
-        aminoacids=np.asarray(node_features).astype(np.int32),
-        rmsd=rmsd,
+        aminoacids=normalize_amino_labels(node_features),
+        rmsd=None if rmsd is None else np.asarray(rmsd, np.float32),
         edges_flat=edges_flat,
         edge_offsets=offsets,
     )

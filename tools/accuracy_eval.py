@@ -71,15 +71,26 @@ def main():
     p.add_argument("--window_diff", action="store_true",
                    help="encode the window as [last frame ; scaled frame "
                         "diffs] so the LSTM sees velocities directly")
+    p.add_argument("--window_diff_scale", type=float, default=100.0,
+                   help="multiplier on the frame diffs under --window_diff")
+    p.add_argument("--compilation_cache", type=str, default=None,
+                   help="persistent XLA compilation cache dir (sweeps "
+                        "re-use compiled steps across processes)")
     p.add_argument("--out", type=str, default=None,
                    help="also write the JSON blob to this path")
     args = p.parse_args()
+
+    if args.compilation_cache:
+        from molecular_dynamics_neural_operator_tpu.utils.compilation_cache import (
+            enable_compilation_cache)
+        enable_compilation_cache(args.compilation_cache)
 
     traj = synthetic_trajectory(num_frames=args.frames, num_residues=28, seed=11)
     cfg = ModelConfig(compute_dtype=args.dtype, graph_mode="sparse",
                       max_edges=args.max_edges, predict_delta=True,
                       train_conv_impl=args.train_conv_impl,
-                      window_diff=args.window_diff)
+                      window_diff=args.window_diff,
+                      window_diff_scale=args.window_diff_scale)
     tcfg = TrainConfig(lr=args.lr, weight_decay=1e-6, batch_size=args.batch,
                        grad_clip_norm=args.grad_clip,
                        skip_nonfinite_updates=True,
@@ -115,6 +126,8 @@ def main():
     cm_acc = np.mean(cm_pred == cm_true, axis=(1, 2))
 
     out = {
+        "config": {k: v for k, v in vars(args).items()
+                   if k not in ("out", "compilation_cache")},
         "train_steps": args.steps,
         "train_seconds": train_seconds,
         "final_train_loss": last_loss,
