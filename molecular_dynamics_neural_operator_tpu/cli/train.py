@@ -72,6 +72,12 @@ def parse_args(argv=None):
                         "(burn-in rollout + truncated backprop: K "
                         "forwards but j backwards; 0 = full BPTT "
                         "through all K steps)")
+    p.add_argument("--burnin_dtype", choices=["bfloat16"], default=None,
+                   help="run the curriculum burn-in prefix (the "
+                        "stop-gradient steps before the last grad_steps) "
+                        "with the model body at this dtype — cheapens an "
+                        "f32 recipe's exposure steps without touching "
+                        "gradient precision")
     p.add_argument("--coord_clip", type=float, default=1000.0,
                    help="clip rail on the curriculum's inner rollout "
                         "coordinates (0 disables; essential for bf16 "
@@ -527,6 +533,7 @@ def main(argv=None):
                 threshold=data_cfg.threshold, coord_clip=coord_clip,
                 loss_space=train_cfg.loss_space, grad_steps=grad_steps,
                 noise_std=train_cfg.noise_std,
+                burnin_dtype=args.burnin_dtype,
             )
             print(f"Data-parallel curriculum: batch sharded over "
                   f"{mesh.shape['data']} devices")
@@ -536,6 +543,7 @@ def main(argv=None):
                 threshold=data_cfg.threshold, coord_clip=coord_clip,
                 loss_space=train_cfg.loss_space, grad_steps=grad_steps,
                 noise_std=train_cfg.noise_std,
+                burnin_dtype=args.burnin_dtype,
             )
         print(f"Curriculum training: K={train_cfg.rollout_steps} rollout "
               f"steps in the loss (grad_clip={train_cfg.grad_clip_norm}, "

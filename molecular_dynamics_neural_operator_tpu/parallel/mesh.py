@@ -217,6 +217,7 @@ def make_sharded_curriculum_train_step(
     loss_space: str = "absolute",
     grad_steps=None,
     noise_std: float = 0.0,
+    burnin_dtype=None,
 ):
     """Data-parallel K-step rollout-curriculum training step — the flagship
     recipe (tools/accuracy_eval.py) on many chips.
@@ -251,6 +252,7 @@ def make_sharded_curriculum_train_step(
                 params, cfg, gbatch, batch["y_seq"], threshold,
                 step_weights, coord_clip, loss_space=loss_space,
                 axis_name="data", grad_steps=grad_steps,
+                burnin_dtype=burnin_dtype,
             )
 
         return _make_shardmapped_step(cfg, tx, mesh, loss,
@@ -261,6 +263,7 @@ def make_sharded_curriculum_train_step(
         step_weights=step_weights, graph_frame=graph_frame,
         coord_clip=coord_clip, loss_space=loss_space,
         grad_steps=grad_steps, noise_std=noise_std,
+        burnin_dtype=burnin_dtype,
     )
 
     def put(host_batch: dict) -> dict:

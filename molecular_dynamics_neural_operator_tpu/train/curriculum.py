@@ -108,6 +108,7 @@ def curriculum_loss_batched(
     loss_space: str = "absolute",
     axis_name: Optional[str] = None,
     grad_steps: Optional[int] = None,
+    burnin_dtype: Optional[str] = None,
 ):
     """Whole-batch K-step curriculum loss: ONE scan over rollout steps with
     batched graph rebuild and the batched forward — so the Pallas training
@@ -159,7 +160,15 @@ def curriculum_loss_batched(
     floor pools the displacement mean over the GLOBAL batch via ``pmean`` —
     otherwise sharded training would floor against per-shard statistics and
     diverge from the single-device objective. Under plain ``jit`` sharding
-    propagation, leave None (jnp.mean is already global)."""
+    propagation, leave None (jnp.mean is already global).
+
+    ``burnin_dtype="bfloat16"``: run the BURN-IN free steps (the
+    stop-gradient exposure prefix of ``grad_steps``) with the model body
+    in bf16 even when the recipe is f32 — the burn-in's only output is
+    the window handed (detached) to the supervised span, so its numerics
+    only shift the exposure distribution by bf16 rounding, never the
+    gradients' precision. Only meaningful when ``grad_steps < K`` in an
+    f32 recipe; ignored otherwise."""
     from molecular_dynamics_neural_operator_tpu.models import (
         GKNBatch,
         gkn_apply,
@@ -207,9 +216,16 @@ def curriculum_loss_batched(
             denom = jnp.sqrt(jnp.sum(truth ** 2, axis=(1, 2)))
         return diff / denom
 
+    if burnin_dtype is not None and burn > 0:
+        import dataclasses
+        cfg_burn = dataclasses.replace(cfg, compute_dtype=burnin_dtype)
+    else:
+        cfg_burn = cfg
+
     # Step 1: teacher-semantics stored graph. Supervised only when the
-    # whole horizon is (burn == 0) — otherwise it opens the burn-in.
-    out = gkn_apply(params, cfg, gbatch)
+    # whole horizon is (burn == 0) — otherwise it opens the burn-in (no
+    # cotangent reaches it, so it may run at the burn-in dtype).
+    out = gkn_apply(params, cfg_burn, gbatch)
     if burn == 0:
         loss_vec = weights[0] * rel(out, y_seq[:, 0], gbatch.window[:, -1])
     else:
@@ -223,22 +239,29 @@ def curriculum_loss_batched(
         window = jnp.concatenate([gbatch.window[:, 1:], out[:, None]],
                                  axis=1)
 
-        def free_step(window, y_t):
-            frame = window[:, -1]
-            graph, ov = jax.vmap(
-                lambda f: _build_graph(cfg, f, threshold)
-            )(frame)
-            out = gkn_apply(
-                params, cfg,
-                GKNBatch(aa=gbatch.aa, window=window, graph=graph,
-                         y=y_t),
-                scatter_hint=rebuilt_scatter_hint(cfg, gbatch.aa.shape[0]),
-            )
-            if coord_clip is not None:
-                out = jnp.clip(out, -coord_clip, coord_clip)
-            new_window = jnp.concatenate([window[:, 1:], out[:, None]],
-                                         axis=1)
-            return new_window, out, jnp.any(ov)
+        def make_free_step(cfg_x):
+            def free_step(window, y_t):
+                frame = window[:, -1]
+                graph, ov = jax.vmap(
+                    lambda f: _build_graph(cfg_x, f, threshold)
+                )(frame)
+                out = gkn_apply(
+                    params, cfg_x,
+                    GKNBatch(aa=gbatch.aa, window=window, graph=graph,
+                             y=y_t),
+                    scatter_hint=rebuilt_scatter_hint(
+                        cfg_x, gbatch.aa.shape[0]),
+                )
+                if coord_clip is not None:
+                    out = jnp.clip(out, -coord_clip, coord_clip)
+                new_window = jnp.concatenate([window[:, 1:], out[:, None]],
+                                             axis=1)
+                return new_window, out, jnp.any(ov)
+            return free_step
+
+        free_step = make_free_step(cfg)
+        burn_free_step = (free_step if cfg_burn is cfg
+                          else make_free_step(cfg_burn))
 
         def sup_body(carry, inputs):
             window, loss_vec, sq, ovf = carry
@@ -251,7 +274,7 @@ def curriculum_loss_batched(
         def burn_body(carry, inputs):
             window, sq, ovf = carry
             (y_t,) = inputs
-            new_window, out, ov = free_step(window, y_t)
+            new_window, out, ov = burn_free_step(window, y_t)
             sq = sq + jnp.sum((out - y_t) ** 2, axis=(1, 2))
             return (new_window, sq, ovf | ov), None
 
@@ -289,17 +312,20 @@ def make_curriculum_train_step(
     loss_space: str = "absolute",
     grad_steps: Optional[int] = None,
     noise_std: float = 0.0,
+    burnin_dtype: Optional[str] = None,
 ):
     """Jitted (state, host_batch) -> (state, metrics). The host batch must
     carry ``y_seq`` (B, K, R, 3) (``WindowDataset.get_batch(...,
     rollout_horizon=K)``). ``coord_clip`` bounds the inner free-rollout
     coordinates (essential for bf16 curriculum stability). ``grad_steps``
     supervises only the last j rollout steps (burn-in + truncated
-    backprop — see ``curriculum_loss_batched``). ``noise_std`` corrupts
-    the INITIAL window with GNS-style random-walk noise (train/noise.py);
-    the K free steps feed back the model's own (clean) predictions as
-    usual — noise widens the input distribution, the curriculum exposes
-    the true model-error distribution, and they compose."""
+    backprop — see ``curriculum_loss_batched``); ``burnin_dtype`` runs
+    that burn-in prefix at a cheaper dtype (see same). ``noise_std``
+    corrupts the INITIAL window with GNS-style random-walk noise
+    (train/noise.py); the K free steps feed back the model's own (clean)
+    predictions as usual — noise widens the input distribution, the
+    curriculum exposes the true model-error distribution, and they
+    compose."""
     if grad_steps is not None and not 1 <= grad_steps <= rollout_steps:
         raise ValueError(
             f"grad_steps must be in [1, rollout_steps={rollout_steps}], "
@@ -313,7 +339,7 @@ def make_curriculum_train_step(
         return curriculum_loss_batched(
             params, cfg, gbatch, batch["y_seq"], threshold, step_weights,
             coord_clip, return_overflow=True, loss_space=loss_space,
-            grad_steps=grad_steps,
+            grad_steps=grad_steps, burnin_dtype=burnin_dtype,
         )
 
     @jax.jit

@@ -40,6 +40,7 @@ def train_curriculum_recipe(
     min_warmup: int = 200,
     loss_space: str = "absolute",
     grad_steps="default",
+    burnin_dtype: str | None = None,
     noise_std: float = 0.0,
     divergence_limit: int = 4,
     on_divergence: str = "abort",
@@ -104,6 +105,7 @@ def train_curriculum_recipe(
             cfg, tx, rollout_steps=k, threshold=threshold,
             coord_clip=coord_clip, loss_space=loss_space,
             grad_steps=grad_steps, noise_std=noise_std,
+            burnin_dtype=burnin_dtype,
         )
         return state, step_k1, step_k
 

@@ -424,3 +424,91 @@ def test_recipe_k_switch_engages_mid_epoch(capsys):
     msgs = [l for l in capsys.readouterr().out.splitlines()
             if "DIVERGED" in l]
     assert len(msgs) == 2 and "backoff 2/2" in msgs[-1]
+
+
+def test_burnin_dtype_bf16_prefix():
+    """burnin_dtype runs the stop-gradient burn-in prefix with a bf16
+    model body: ignored when there is no burn-in (bitwise == baseline),
+    and with K=2/j=1 it matches a hand-rolled reference whose burn-in
+    forward uses a bf16 cfg while the supervised step stays f32."""
+    import dataclasses
+
+    from molecular_dynamics_neural_operator_tpu.models import (
+        GKNBatch,
+        gkn_apply,
+    )
+    from molecular_dynamics_neural_operator_tpu.rollout.scan import (
+        _build_graph,
+        rebuilt_scatter_hint,
+    )
+    from molecular_dynamics_neural_operator_tpu.train.curriculum import (
+        curriculum_loss_batched,
+    )
+    from molecular_dynamics_neural_operator_tpu.train.loop import (
+        featurize_batch,
+    )
+
+    cfg, tcfg, traj, ds = _setup()
+    state, tx, _ = create_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+
+    b2 = {k: jnp.asarray(v) for k, v in
+          ds.get_batch(np.arange(6), rollout_horizon=2).items()}
+    g2 = featurize_batch(cfg, b2, "first")
+
+    # (a) no burn-in (full supervision): burnin_dtype must be a no-op
+    v0, grads0 = jax.value_and_grad(
+        lambda p: curriculum_loss_batched(p, cfg, g2, b2["y_seq"])[0]
+    )(state.params)
+    v0b, grads0b = jax.value_and_grad(
+        lambda p: curriculum_loss_batched(p, cfg, g2, b2["y_seq"],
+                                          burnin_dtype="bfloat16")[0]
+    )(state.params)
+    np.testing.assert_array_equal(float(v0), float(v0b))
+    for a, b in zip(jax.tree_util.tree_leaves(grads0),
+                    jax.tree_util.tree_leaves(grads0b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # (b) K=2, j=1, bf16 burn-in == manual reference with a bf16 cfg on
+    # the burn-in forward only
+    cfg_bf = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    y1 = b2["y_seq"][:, 1]
+
+    def loss_b(p):
+        return curriculum_loss_batched(p, cfg, g2, b2["y_seq"],
+                                       grad_steps=1,
+                                       burnin_dtype="bfloat16")[0]
+
+    def loss_manual(p):
+        out = gkn_apply(p, cfg_bf, g2)  # burn-in at bf16
+        window = jnp.concatenate([g2.window[:, 1:], out[:, None]], axis=1)
+        window = jax.lax.stop_gradient(window)
+        graph, _ = jax.vmap(
+            lambda f: _build_graph(cfg, f, 8.0))(window[:, -1])
+        out2 = gkn_apply(
+            p, cfg, GKNBatch(aa=g2.aa, window=window, graph=graph, y=y1),
+            scatter_hint=rebuilt_scatter_hint(cfg, g2.aa.shape[0]))
+        num = jnp.sqrt(jnp.sum((out2 - y1) ** 2, axis=(1, 2)))
+        den = jnp.sqrt(jnp.sum(y1 ** 2, axis=(1, 2)))
+        return jnp.sum(num / den)
+
+    vb, gradsb = jax.value_and_grad(loss_b)(state.params)
+    vm, gradsm = jax.value_and_grad(loss_manual)(state.params)
+    np.testing.assert_allclose(float(vb), float(vm), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(gradsb),
+                    jax.tree_util.tree_leaves(gradsm)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-8)
+
+    # the bf16 burn-in genuinely changes the exposure (vs f32 burn-in)
+    v1 = curriculum_loss_batched(state.params, cfg, g2, b2["y_seq"],
+                                 grad_steps=1)[0]
+    assert float(vb) != float(v1)
+
+    # (c) end-to-end step runs finite
+    step = make_curriculum_train_step(cfg, tx, rollout_steps=3,
+                                      grad_steps=1, coord_clip=1000.0,
+                                      burnin_dtype="bfloat16")
+    b3 = {k: jnp.asarray(v) for k, v in
+          ds.get_batch(np.arange(6), rollout_horizon=3).items()}
+    state2, m = step(state, b3)
+    assert np.isfinite(float(m["rel_l2"]))

@@ -65,6 +65,9 @@ def main():
                    help="supervise only the last j curriculum steps "
                         "(burn-in + truncated backprop; 0 = full BPTT, "
                         "-1 = recipe default, currently j=1)")
+    p.add_argument("--burnin_dtype", choices=["bfloat16"], default=None,
+                   help="dtype for the curriculum burn-in prefix (see "
+                        "train/curriculum.py)")
     p.add_argument("--noise_std", type=float, default=0.0,
                    help="GNS-style random-walk input-noise std on the "
                         "training windows (0 disables)")
@@ -107,6 +110,7 @@ def main():
         grad_steps=("default" if args.grad_steps < 0
                     else args.grad_steps if args.grad_steps > 0 else None),
         noise_std=args.noise_std,
+        burnin_dtype=args.burnin_dtype,
     )
 
     # --- evaluation: free rollout from the validation region
