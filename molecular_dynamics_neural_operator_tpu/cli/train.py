@@ -100,6 +100,10 @@ def parse_args(argv=None):
     p.add_argument("--fno_modes", type=int, default=12)
     p.add_argument("--fno_width", type=int, default=32)
     p.add_argument("--fno_depth", type=int, default=4)
+    p.add_argument("--fno_predict_delta", action="store_true",
+                   help="FNO residual head: predict the distance-matrix "
+                        "change on top of the last input channel (the "
+                        "quality recipe; see tools/fno_accuracy_eval.py)")
     # TPU-framework extensions (not in the reference):
     p.add_argument("--graph_mode", choices=["dense", "sparse"], default="dense")
     p.add_argument("--max_edges", type=int, default=384,
@@ -283,6 +287,7 @@ def _main_fno(args, data_cfg, train_cfg):
         width=args.fno_width, modes1=args.fno_modes, modes2=args.fno_modes,
         depth=args.fno_depth, in_channels=args.window_size,
         num_residues=traj.num_residues,
+        predict_delta=args.fno_predict_delta,
     )
     # config.json parity with the GKN path: --run_path consumers
     # (examples/bba_analysis.py, cli/export.py) read the fno section.

@@ -135,6 +135,12 @@ class FNOConfig:
     # matmuls (exact; 3x+ faster than the Bluestein FFT at protein sizes);
     # "fft" rides jnp.fft; "auto" picks dft for grids up to 128.
     spectral_impl: str = "auto"
+    # Predict the distance-matrix CHANGE (out = last input channel + head)
+    # instead of the absolute matrix — the FNO analogue of the GKN's
+    # predict_delta. The per-step displacement is ~1e-4 relative, so an
+    # absolute head must reconstruct the full matrix to beat copy-last
+    # (measured: 553x copy-last step-1 MSE without it).
+    predict_delta: bool = False
 
 
 @dataclass(frozen=True)

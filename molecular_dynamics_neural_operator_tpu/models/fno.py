@@ -181,6 +181,11 @@ def fno_apply(params, cfg: FNOConfig, x: Array, return_latent: bool = False):
     latent = h
     h = jax.nn.gelu(linear_apply(params["proj1"], h))
     out = linear_apply(params["proj2"], h)
+    if getattr(cfg, "predict_delta", False):
+        # Residual head: the last input channel is the most recent
+        # distance matrix, so the network only has to model the ~1e-4
+        # relative per-step change (broadcasts over out_channels).
+        out = out + x[..., -1:]
     if return_latent:
         return out, latent
     return out

@@ -232,3 +232,25 @@ def test_fno_curriculum_k3_trains():
             losses.append(float(m["rel_l2"]))
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0]
+
+
+def test_predict_delta_residual_head():
+    """predict_delta output == absolute output + last input channel (the
+    residual head only adds the most recent distance matrix), and the
+    rollout/curriculum paths compose with it unchanged."""
+    import dataclasses
+
+    cfg = _cfg()
+    cfg_d = dataclasses.replace(cfg, predict_delta=True)
+    params = fno_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 5))
+    base = np.asarray(fno_apply(params, cfg, x))
+    delta = np.asarray(fno_apply(params, cfg_d, x))
+    np.testing.assert_allclose(
+        delta, base + np.asarray(x[..., -1:]), rtol=0, atol=1e-6)
+
+    # at init the head is small, so a delta model starts near copy-last
+    ch0 = jax.random.normal(jax.random.PRNGKey(2), (16, 16, 5))
+    preds, _ = fno_rollout_scan(params, cfg_d, ch0, 3)
+    assert preds.shape == (3, 16, 16)
+    assert np.isfinite(np.asarray(preds)).all()

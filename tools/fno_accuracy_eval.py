@@ -58,6 +58,8 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--threshold", type=float, default=8.0)
     p.add_argument("--out", type=str, default=None)
+    p.add_argument("--predict_delta", action="store_true",
+                   help="residual head (out = last DM + network)")
     p.add_argument("--compilation_cache", type=str, default=None)
     args = p.parse_args()
 
@@ -71,7 +73,8 @@ def main():
                                 seed=11)
     cfg = FNOConfig(width=args.width, modes1=args.modes, modes2=args.modes,
                     depth=args.depth, in_channels=args.window,
-                    num_residues=traj.num_residues)
+                    num_residues=traj.num_residues,
+                    predict_delta=args.predict_delta)
     ds = WindowDataset(traj, window_size=args.window, graph_mode="none")
     tr_idx, va_idx = train_valid_split(len(ds), 0.8, "partition")
     # curriculum batches need idx + window + K <= num_frames

@@ -119,10 +119,17 @@ def bench_saturated(cfg, params, aa, w0, streams, seg, n1, n2, reps,
     }
 
 
-def bench_mixed(cfg, params, aa, w0, seg):
+def bench_mixed(cfg, params, aa, w0, seg, impl="scan"):
     """Mixed horizons + a late join: the short requests finish while the
-    long ones keep running, and the late join shares in-flight segments."""
-    with RolloutServer(params, cfg, segment_steps=seg, max_streams=8) as srv:
+    long ones keep running, and the late join shares in-flight segments.
+
+    impl="persistent" exercises the shared-aa restriction path: the
+    Pallas multi-stream program is specialized to one protein at server
+    construction, so every request must carry the same aminoacids — the
+    many-forecasts-of-one-protein serving shape it was built for."""
+    kw = {} if impl == "scan" else {"impl": "persistent", "aa": aa}
+    with RolloutServer(params, cfg, segment_steps=seg, max_streams=8,
+                       **kw) as srv:
         srv.warmup([2, 4, 8])  # the quantized sizes this scenario hits
         t0 = time.perf_counter()
         long_f = [srv.submit(aa, w0, 4 * seg) for _ in range(2)]
@@ -137,6 +144,7 @@ def bench_mixed(cfg, params, aa, w0, seg):
         t_all = time.perf_counter() - t0
         stats = srv.stats
     return {
+        "impl": impl,
         "segment_steps": seg,
         "t_short_done_s": round(t_short, 3),
         "t_all_done_s": round(t_all, 3),
@@ -171,6 +179,9 @@ def main():
                    help="persistent XLA cache dir (tunnel compiles are "
                         "1-5 min each; reruns skip them)")
     p.add_argument("--out", type=str, default=None)
+    p.add_argument("--merge", action="store_true",
+                   help="append saturated rows / add keyed sections to an "
+                        "existing --out file instead of overwriting it")
     args = p.parse_args()
 
     if args.compilation_cache:
@@ -204,11 +215,21 @@ def main():
         print(f"[saturated] {row}", flush=True)
 
     if not args.skip_mixed:
-        out["mixed"] = bench_mixed(cfg, params, aa, w0, args.segment_steps)
-        print(f"[mixed] {out['mixed']}", flush=True)
+        key = "mixed" if args.impl == "scan" else f"mixed_{args.impl}"
+        out[key] = bench_mixed(cfg, params, aa, w0, args.segment_steps,
+                               impl=args.impl)
+        print(f"[{key}] {out[key]}", flush=True)
 
     if args.out:
-        _Path(args.out).write_text(json.dumps(out, indent=2) + "\n")
+        path = _Path(args.out)
+        if args.merge and path.exists():
+            prev = json.loads(path.read_text())
+            prev.setdefault("saturated", []).extend(out["saturated"])
+            for k, v in out.items():
+                if k != "saturated":
+                    prev[k] = v
+            out = prev
+        path.write_text(json.dumps(out, indent=2) + "\n")
         print(f"wrote {args.out}")
 
 
