@@ -192,6 +192,50 @@ def main():
     results[f"train_step_curriculum_k{args.k}"]["ms_per_step"] = round(
         1e3 / k_rate, 2)
 
+    # --- curriculum K with grad_steps=1 (the recipe default since r4):
+    # useful FLOPs = the K=1 teacher program + (K-1) burn-in FORWARDS.
+    # The burn-in forward cost per step is the program delta between
+    # K=2 and K=1 forward-only loss evaluations (no grad), sidestepping
+    # the scan-body-counted-once issue the full-BPTT model corrects for.
+    if args.k >= 2:
+        from molecular_dynamics_neural_operator_tpu.train.curriculum import (
+            curriculum_loss_batched,
+        )
+        from molecular_dynamics_neural_operator_tpu.train.loop import (
+            featurize_batch,
+        )
+
+        def fwd_flops(k):
+            b = {kk: jnp.asarray(v) for kk, v in ds.get_batch(
+                np.arange(bk), rollout_horizon=k).items()}
+            gb = featurize_batch(cfg, b, "first")
+
+            def loss_only(params):
+                return curriculum_loss_batched(
+                    params, cfg, gb, b["y_seq"], coord_clip=1000.0)[0]
+
+            return flops_of(jax.jit(loss_only), state_k.params)
+
+        body_fwd = fwd_flops(2) - fwd_flops(1)
+        f_j1 = f1 + (args.k - 1) * body_fwd
+        step_j1 = make_curriculum_train_step(
+            cfg, tx_k, rollout_steps=args.k, coord_clip=1000.0,
+            grad_steps=1)
+
+        def run_j1(n):
+            def body(s, _):
+                s, m = step_j1(s, batch_k)
+                return s, m["rel_l2"]
+            scan = jax.jit(lambda s: jax.lax.scan(body, s, None,
+                                                  length=n)[1])
+            return min_time(scan, state_k)
+
+        j1_rate = slope_rate(run_j1, 4, 20)
+        name = f"train_step_curriculum_k{args.k}_j1"
+        report(name, f_j1 / bk, j1_rate * bk)
+        results[name]["batch"] = bk
+        results[name]["ms_per_step"] = round(1e3 / j1_rate, 2)
+
     # --- FNO family (opt-in: adds ~2 compiles over the tunnel)
     if args.fno:
         from molecular_dynamics_neural_operator_tpu.configs import FNOConfig
