@@ -72,6 +72,10 @@ def parse_args(argv=None):
                         "(burn-in rollout + truncated backprop: K "
                         "forwards but j backwards; 0 = full BPTT "
                         "through all K steps)")
+    p.add_argument("--unroll_scans", action="store_true",
+                   help="unroll the curriculum's K-step loops instead of "
+                        "lax.scan — identical math; compiles MUCH faster "
+                        "at 10k-atom scale (tools/config5_campaign.py)")
     p.add_argument("--burnin_dtype", choices=["bfloat16"], default=None,
                    help="run the curriculum burn-in prefix (the "
                         "stop-gradient steps before the last grad_steps) "
@@ -539,6 +543,7 @@ def main(argv=None):
                 loss_space=train_cfg.loss_space, grad_steps=grad_steps,
                 noise_std=train_cfg.noise_std,
                 burnin_dtype=args.burnin_dtype,
+                unroll_scans=args.unroll_scans,
             )
             print(f"Data-parallel curriculum: batch sharded over "
                   f"{mesh.shape['data']} devices")
@@ -549,6 +554,7 @@ def main(argv=None):
                 loss_space=train_cfg.loss_space, grad_steps=grad_steps,
                 noise_std=train_cfg.noise_std,
                 burnin_dtype=args.burnin_dtype,
+                unroll_scans=args.unroll_scans,
             )
         print(f"Curriculum training: K={train_cfg.rollout_steps} rollout "
               f"steps in the loss (grad_clip={train_cfg.grad_clip_norm}, "

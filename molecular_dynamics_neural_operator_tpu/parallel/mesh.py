@@ -218,6 +218,7 @@ def make_sharded_curriculum_train_step(
     grad_steps=None,
     noise_std: float = 0.0,
     burnin_dtype=None,
+    unroll_scans: bool = False,
 ):
     """Data-parallel K-step rollout-curriculum training step — the flagship
     recipe (tools/accuracy_eval.py) on many chips.
@@ -252,7 +253,7 @@ def make_sharded_curriculum_train_step(
                 params, cfg, gbatch, batch["y_seq"], threshold,
                 step_weights, coord_clip, loss_space=loss_space,
                 axis_name="data", grad_steps=grad_steps,
-                burnin_dtype=burnin_dtype,
+                burnin_dtype=burnin_dtype, unroll_scans=unroll_scans,
             )
 
         return _make_shardmapped_step(cfg, tx, mesh, loss,
@@ -263,7 +264,7 @@ def make_sharded_curriculum_train_step(
         step_weights=step_weights, graph_frame=graph_frame,
         coord_clip=coord_clip, loss_space=loss_space,
         grad_steps=grad_steps, noise_std=noise_std,
-        burnin_dtype=burnin_dtype,
+        burnin_dtype=burnin_dtype, unroll_scans=unroll_scans,
     )
 
     def put(host_batch: dict) -> dict:

@@ -109,6 +109,7 @@ def curriculum_loss_batched(
     axis_name: Optional[str] = None,
     grad_steps: Optional[int] = None,
     burnin_dtype: Optional[str] = None,
+    unroll_scans: bool = False,
 ):
     """Whole-batch K-step curriculum loss: ONE scan over rollout steps with
     batched graph rebuild and the batched forward — so the Pallas training
@@ -168,7 +169,16 @@ def curriculum_loss_batched(
     the window handed (detached) to the supervised span, so its numerics
     only shift the exposure distribution by bf16 rounding, never the
     gradients' precision. Only meaningful when ``grad_steps < K`` in an
-    f32 recipe; ignored otherwise."""
+    f32 recipe; ignored otherwise.
+
+    ``unroll_scans=True`` replaces the two ``lax.scan``s with Python
+    loops (identical math — the lengths are static). At large node
+    counts (config 5, 10k atoms / 400k-edge capacity) XLA's compile of
+    a scan-wrapped rollout body over the network-attached dev rig takes
+    28+ minutes, while the same body unrolled compiles in minutes; at
+    small K the unrolled program is also free of scan-carry layout
+    constraints. Protein-sized training keeps the scan (smaller HLO,
+    same speed)."""
     from molecular_dynamics_neural_operator_tpu.models import (
         GKNBatch,
         gkn_apply,
@@ -280,9 +290,14 @@ def curriculum_loss_batched(
 
         y_steps = jnp.swapaxes(y_seq, 0, 1)  # (K, B, R, 3)
         if burn > 1:
-            (window, sq, overflow), _ = jax.lax.scan(
-                burn_body, (window, sq, overflow), (y_steps[1:burn],)
-            )
+            carry = (window, sq, overflow)
+            if unroll_scans:
+                for t in range(1, burn):
+                    carry, _ = burn_body(carry, (y_steps[t],))
+            else:
+                carry, _ = jax.lax.scan(burn_body, carry,
+                                        (y_steps[1:burn],))
+            window, sq, overflow = carry
         if burn > 0:
             # The supervised span sees the burn-in rollout as DATA: no
             # cotangent enters the burn-in scan, so its backward never
@@ -290,10 +305,17 @@ def curriculum_loss_batched(
             window = jax.lax.stop_gradient(window)
         sup_weights = weights if burn > 0 else weights[1:]
         first_sup = max(burn, 1)  # y_steps index of the first free sup step
-        (window, loss_vec, sq, overflow), _ = jax.lax.scan(
-            sup_body, (window, loss_vec, sq, overflow),
-            (y_steps[first_sup:], y_steps[first_sup - 1:-1], sup_weights)
-        )
+        carry = (window, loss_vec, sq, overflow)
+        if unroll_scans:
+            for i, t in enumerate(range(first_sup, k)):
+                carry, _ = sup_body(
+                    carry, (y_steps[t], y_steps[t - 1], sup_weights[i]))
+        else:
+            carry, _ = jax.lax.scan(
+                sup_body, carry,
+                (y_steps[first_sup:], y_steps[first_sup - 1:-1],
+                 sup_weights))
+        window, loss_vec, sq, overflow = carry
     r3 = y_seq.shape[-2] * y_seq.shape[-1]
     loss, msem = jnp.sum(loss_vec), jnp.mean(sq / (k * r3))
     if return_overflow:
@@ -313,6 +335,7 @@ def make_curriculum_train_step(
     grad_steps: Optional[int] = None,
     noise_std: float = 0.0,
     burnin_dtype: Optional[str] = None,
+    unroll_scans: bool = False,
 ):
     """Jitted (state, host_batch) -> (state, metrics). The host batch must
     carry ``y_seq`` (B, K, R, 3) (``WindowDataset.get_batch(...,
@@ -340,6 +363,7 @@ def make_curriculum_train_step(
             params, cfg, gbatch, batch["y_seq"], threshold, step_weights,
             coord_clip, return_overflow=True, loss_space=loss_space,
             grad_steps=grad_steps, burnin_dtype=burnin_dtype,
+            unroll_scans=unroll_scans,
         )
 
     @jax.jit

@@ -512,3 +512,54 @@ def test_burnin_dtype_bf16_prefix():
           ds.get_batch(np.arange(6), rollout_horizon=3).items()}
     state2, m = step(state, b3)
     assert np.isfinite(float(m["rel_l2"]))
+
+
+def test_unroll_scans_matches_scan():
+    """unroll_scans=True (Python loops — the config-5 compile path) is
+    equal to the lax.scan formulation — loss and every gradient leaf to
+    1e-6 relative, for full BPTT and grad_steps in {1, 2} (burn-in +
+    truncation). Not bitwise by design: lax.scan compiles its body as
+    one fused program, so XLA's fusion reassociates float reductions in
+    last ulps relative to the unrolled op sequence (and the scan
+    transpose accumulates cotangents in reverse order)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from molecular_dynamics_neural_operator_tpu.configs import ModelConfig
+    from molecular_dynamics_neural_operator_tpu.data import (
+        WindowDataset,
+        synthetic_trajectory,
+    )
+    from molecular_dynamics_neural_operator_tpu.models import gkn_init
+    from molecular_dynamics_neural_operator_tpu.train.curriculum import (
+        curriculum_loss_batched,
+    )
+    from molecular_dynamics_neural_operator_tpu.train.loop import (
+        featurize_batch,
+    )
+
+    cfg = ModelConfig(width=8, ker_width=16, depth=1, window_size=4,
+                      num_residues=10, graph_mode="sparse", max_edges=128,
+                      compute_dtype="float32", predict_delta=True)
+    traj = synthetic_trajectory(num_frames=30, num_residues=10, seed=3)
+    ds = WindowDataset(traj, window_size=4, graph_mode="sparse",
+                       max_edges=128)
+    params = gkn_init(jax.random.PRNGKey(0), cfg)
+    b = {k: jnp.asarray(v) for k, v in
+         ds.get_batch(np.arange(5), rollout_horizon=4).items()}
+    gb = featurize_batch(cfg, b, "first")
+
+    for gs in (None, 1, 2):
+        def loss(p, unroll):
+            return curriculum_loss_batched(
+                p, cfg, gb, b["y_seq"], coord_clip=1000.0,
+                grad_steps=gs, unroll_scans=unroll)[0]
+
+        (v_s, g_s) = jax.value_and_grad(lambda p: loss(p, False))(params)
+        (v_u, g_u) = jax.value_and_grad(lambda p: loss(p, True))(params)
+        np.testing.assert_allclose(float(v_s), float(v_u), rtol=1e-6)
+        for a, bb in zip(jax.tree_util.tree_leaves(g_s),
+                         jax.tree_util.tree_leaves(g_u)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                       rtol=1e-5, atol=1e-8)

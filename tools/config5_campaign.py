@@ -117,7 +117,18 @@ def main():
                    help="node pairs sampled for the contact-accuracy gate "
                         "(a full (R, R) contact map is 1e8 entries)")
     p.add_argument("--out", type=str, default=None)
+    p.add_argument("--compilation_cache", type=str, default=None,
+                   help="persistent XLA cache dir — the 10k-atom training "
+                        "step is a 20+ min compile over the dev tunnel; "
+                        "retries after a worker crash skip it")
     args = p.parse_args()
+
+    if args.compilation_cache:
+        from molecular_dynamics_neural_operator_tpu.utils.compilation_cache import (  # noqa: E501
+            enable_compilation_cache,
+        )
+
+        enable_compilation_cache(args.compilation_cache)
 
     t_all0 = time.time()
     total_frames = args.train_frames + args.rollout_steps + 16
@@ -166,12 +177,16 @@ def main():
                        threshold=args.threshold, edge_layout="blocked")
 
     state, tx, _ = create_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    # unroll_scans: at 10k atoms / 400k-edge capacity a scan-wrapped
+    # rollout body is a 28+ minute compile over the dev tunnel
+    # (docs/PERFORMANCE.md "Large-system smoke"); unrolled it compiles
+    # in minutes — identical math (tests/test_curriculum.py).
     step_k1 = make_curriculum_train_step(
         cfg, tx, rollout_steps=1, threshold=args.threshold,
         coord_clip=1000.0)
     step_k = make_curriculum_train_step(
         cfg, tx, rollout_steps=args.k, threshold=args.threshold,
-        coord_clip=1000.0, grad_steps=1)
+        coord_clip=1000.0, grad_steps=1, unroll_scans=True)
 
     pool = np.arange(args.train_frames - cfg.window_size - args.k)
     rng = np.random.default_rng(0)
