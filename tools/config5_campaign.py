@@ -22,7 +22,6 @@ from pathlib import Path as _Path
 _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
 
 import argparse
-import dataclasses
 import json
 import time
 
@@ -162,12 +161,22 @@ def main():
             0, 20, args.nodes).astype(np.int32),
         rmsd=None,
     )
+    # neighbor_impl="cell_list" matters for TRAINING too, not just the
+    # rollout below: the K=4 curriculum's free steps rebuild the graph
+    # on device (train/curriculum.py free_step -> rollout.scan._build_graph),
+    # and the default brute-force rebuild at 10k nodes compiles (R, R) =
+    # 1e8-entry intermediates whose compaction hard-crashed the TPU worker
+    # at the first K=4 step (three identical crashes at step==warmup).
+    # The cell-list rebuild also emits the block layout that
+    # scatter_mode="blocked" and the blocked dataset graphs use.
     cfg = ModelConfig(
         compute_dtype="float32", graph_mode="sparse",
         num_residues=args.nodes, max_edges=max_edges,
         width=args.width, ker_width=args.ker_width, depth=args.depth,
         predict_delta=True, electrostatics="dh",
         scatter_mode="blocked", train_conv_impl="xla",
+        neighbor_impl="cell_list", max_degree=max_degree,
+        cell_capacity=32, num_cells=16384,
     )
     tcfg = TrainConfig(lr=args.lr, weight_decay=1e-6, batch_size=1,
                        grad_clip_norm=1.0, skip_nonfinite_updates=True,
@@ -206,12 +215,8 @@ def main():
                   f"{time.time() - t0:.0f}s)", flush=True)
     train_seconds = time.time() - t0
 
-    # --- >= 200-step free rollout: cell-list rebuild + blocked scatter
-    cfg_roll = dataclasses.replace(
-        cfg, neighbor_impl="cell_list", max_degree=max_degree,
-        max_edges=args.nodes * max_degree, cell_capacity=32,
-        num_cells=16384,
-    )
+    # --- >= 200-step free rollout: same cell-list + blocked config
+    cfg_roll = cfg
     start = args.train_frames
     aa = jnp.asarray(traj.aminoacids)
     w0 = jnp.asarray(positions[start - cfg.window_size : start])
