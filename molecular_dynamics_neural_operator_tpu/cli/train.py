@@ -352,7 +352,8 @@ def _main_fno(args, data_cfg, train_cfg):
         mesh, put = data_parallel_put(train_cfg.batch_size)
         print(f"FNO data parallelism: batch sharded over "
               f"{mesh.shape['data']} devices")
-    logger = MetricLogger(run_dir, use_wandb=train_cfg.log_wandb)
+    logger = MetricLogger(run_dir, use_wandb=train_cfg.log_wandb,
+                          config=vars(args))
     ckpt = BestCheckpointer(run_dir, resume=args.resume is not None)
     print(f"FNO training: {len(ds)} windows, R={traj.num_residues}")
 

@@ -112,6 +112,12 @@ def main():
     p.add_argument("--amplitude", type=float, default=0.35)
     p.add_argument("--dt", type=float, default=0.02)
     p.add_argument("--threshold", type=float, default=8.0)
+    p.add_argument("--window_diff", action="store_true",
+                   help="velocity window encoding (configs.py:81-82) — "
+                        "puts the ~1e-4-relative per-step displacement "
+                        "signal at unit scale for the LSTM encoder")
+    p.add_argument("--scheduler_step", type=int, default=10_000)
+    p.add_argument("--scheduler_gamma", type=float, default=1.0)
     p.add_argument("--sample_pairs", type=int, default=8192,
                    help="node pairs sampled for the contact-accuracy gate "
                         "(a full (R, R) contact map is 1e8 entries)")
@@ -177,10 +183,12 @@ def main():
         scatter_mode="blocked", train_conv_impl="xla",
         neighbor_impl="cell_list", max_degree=max_degree,
         cell_capacity=32, num_cells=16384,
+        window_diff=args.window_diff,
     )
     tcfg = TrainConfig(lr=args.lr, weight_decay=1e-6, batch_size=1,
                        grad_clip_norm=1.0, skip_nonfinite_updates=True,
-                       scheduler_step=10_000, scheduler_gamma=1.0)
+                       scheduler_step=args.scheduler_step,
+                       scheduler_gamma=args.scheduler_gamma)
     ds = WindowDataset(traj, window_size=cfg.window_size,
                        graph_mode="sparse", max_edges=max_edges,
                        threshold=args.threshold, edge_layout="blocked")
@@ -233,6 +241,14 @@ def main():
     mses = np.mean((coords - truth) ** 2, axis=(1, 2))
     frozen = np.asarray(w0[-1])
     base_mses = np.mean((frozen[None] - truth) ** 2, axis=(1, 2))
+    # second honesty baseline: constant-velocity linear extrapolation of
+    # the last two window frames — on smooth trajectories it is the
+    # stronger trivial forecaster (copy-last is the zero-velocity case)
+    prev = np.asarray(w0[-2])
+    ahead = np.arange(1, args.rollout_steps + 1,
+                      dtype=np.float32)[:, None, None]
+    extrap = frozen[None] + (frozen - prev)[None] * ahead
+    extrap_mses = np.mean((extrap - truth) ** 2, axis=(1, 2))
     fin = int(np.isfinite(coords).all(axis=(1, 2)).sum())
 
     # sampled-pair contact accuracy (full (R, R) maps are 1e8 entries)
@@ -250,6 +266,7 @@ def main():
     acc_model = float(np.mean(pair_contacts(coords) == ct))
     acc_base = float(np.mean(pair_contacts(
         np.repeat(frozen[None], len(truth), 0)) == ct))
+    acc_extrap = float(np.mean(pair_contacts(extrap) == ct))
 
     def at(a, s):
         return float(a[min(s - 1, len(a) - 1)])
@@ -282,11 +299,17 @@ def main():
                           for s in (1, 10, 100, 200)},
             "baseline_coord_mse": {f"step{s}": at(base_mses, s)
                                    for s in (1, 10, 100, 200)},
+            "extrapolation_coord_mse": {f"step{s}": at(extrap_mses, s)
+                                        for s in (1, 10, 100, 200)},
             "model_over_baseline_mse": {
                 f"step{s}": at(mses, s) / at(base_mses, s)
                 for s in (1, 10, 100, 200) if fin >= s},
+            "model_over_extrapolation_mse": {
+                f"step{s}": at(mses, s) / at(extrap_mses, s)
+                for s in (1, 10, 100, 200) if fin >= s},
             "sampled_contact_accuracy_model": acc_model,
             "sampled_contact_accuracy_baseline": acc_base,
+            "sampled_contact_accuracy_extrapolation": acc_extrap,
         },
         "total_seconds": round(time.time() - t_all0, 1),
     }
