@@ -563,3 +563,63 @@ def test_unroll_scans_matches_scan():
                          jax.tree_util.tree_leaves(g_u)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                        rtol=1e-5, atol=1e-8)
+
+
+def test_curriculum_cell_list_rebuild_matches_brute_force():
+    """The free steps' device rebuild under neighbor_impl="cell_list"
+    (block edge layout, the config-5 training path) must produce the same
+    loss as the brute-force dense_rank rebuild (CSR layout) — the graphs
+    differ only in edge ORDER and padding slots, and mean aggregation is
+    order-insensitive. Covers the composition the 10k-atom campaign runs:
+    blocked dataset graphs + cell-list free-step rebuilds + blocked
+    scatter + grad_steps truncation + unrolled scans. (The brute-force
+    rebuild at 10k nodes compiles 1e8-entry intermediates that crashed
+    the TPU worker — cell_list is the only viable rebuild at scale, so
+    its equivalence needs pinning at small scale.)"""
+    import dataclasses
+
+    from molecular_dynamics_neural_operator_tpu.models import gkn_init
+    from molecular_dynamics_neural_operator_tpu.train.curriculum import (
+        curriculum_loss_batched,
+    )
+    from molecular_dynamics_neural_operator_tpu.train.loop import (
+        featurize_batch,
+    )
+
+    r, deg = 10, 13
+    cfg_bf = ModelConfig(width=8, ker_width=16, depth=1, window_size=4,
+                         num_residues=r, max_edges=deg * r,
+                         graph_mode="sparse", compute_dtype="float32",
+                         predict_delta=True)
+    cfg_cl = dataclasses.replace(
+        cfg_bf, neighbor_impl="cell_list", max_degree=deg,
+        scatter_mode="blocked", cell_capacity=16, num_cells=512)
+    params = gkn_init(jax.random.PRNGKey(0), cfg_bf)
+    traj = synthetic_trajectory(num_frames=24, num_residues=r, seed=6)
+    ds_csr = WindowDataset(traj, window_size=4, graph_mode="sparse",
+                           max_edges=deg * r)
+    ds_blk = WindowDataset(traj, window_size=4, graph_mode="sparse",
+                           max_edges=deg * r, edge_layout="blocked")
+    losses = {}
+    for name, cfg, ds, kw in (
+        ("bf", cfg_bf, ds_csr, {}),
+        ("cl", cfg_cl, ds_blk, {}),
+        ("cl_trunc", cfg_cl, ds_blk,
+         {"grad_steps": 1, "unroll_scans": True}),
+    ):
+        batch = {k: jnp.asarray(v) for k, v in
+                 ds.get_batch(np.arange(4), rollout_horizon=3).items()}
+        gbatch = featurize_batch(cfg, batch)
+        loss, (mse, ovf) = jax.jit(
+            lambda p, g=gbatch, c=cfg, y=batch["y_seq"], kw=kw:
+            curriculum_loss_batched(p, c, g, y, coord_clip=50.0,
+                                    return_overflow=True, **kw)
+        )(params)
+        assert not bool(ovf), f"{name}: unexpected edge overflow"
+        losses[name] = (float(loss), float(mse))
+    np.testing.assert_allclose(losses["cl"][0], losses["bf"][0], rtol=1e-5)
+    np.testing.assert_allclose(losses["cl"][1], losses["bf"][1], rtol=1e-5)
+    # truncation changes WHICH steps carry loss weight, not the rollout
+    # itself — the mse metric (all K steps, forward-only) must agree.
+    np.testing.assert_allclose(losses["cl_trunc"][1], losses["bf"][1],
+                               rtol=1e-5)
