@@ -36,3 +36,35 @@ def copy_last_baseline(last_frame, truth, threshold: float = 8.0):
     cm_true = np.asarray(contact_map(jnp.asarray(truth_np), threshold))
     acc = np.mean(cm_frozen == cm_true, axis=(1, 2))
     return mse, acc
+
+
+def linear_extrapolation_baseline(prev_frame, last_frame, truth,
+                                  threshold: float = 8.0):
+    """Per-step metrics of the constant-velocity forecast.
+
+    The second honesty bar: on smooth trajectories the linear
+    extrapolation ``last + t * (last - prev)`` is the stronger trivial
+    forecaster (copy-last is its zero-velocity special case) — it wins
+    short horizons wherever per-step motion is locally linear, and it
+    DIVERGES long-horizon, so a learned operator's value shows up as
+    beating it at large t while staying bounded.
+
+    prev_frame, last_frame: (R, 3) — the window's final two observed
+    frames. truth: (T, R, 3). Returns (coord_mse, contact_accuracy),
+    each shape (T,), same semantics as :func:`copy_last_baseline`.
+    """
+    import jax.numpy as jnp
+
+    from molecular_dynamics_neural_operator_tpu.geometry import contact_map
+
+    prev = np.asarray(prev_frame)
+    last = np.asarray(last_frame)
+    truth_np = np.asarray(truth)
+    ahead = np.arange(1, truth_np.shape[0] + 1,
+                      dtype=truth_np.dtype)[:, None, None]
+    extrap = last[None] + (last - prev)[None] * ahead
+    mse = np.mean((extrap - truth_np) ** 2, axis=(1, 2))
+    cm_extrap = np.asarray(contact_map(jnp.asarray(extrap), threshold))
+    cm_true = np.asarray(contact_map(jnp.asarray(truth_np), threshold))
+    acc = np.mean(cm_extrap == cm_true, axis=(1, 2))
+    return mse, acc

@@ -167,6 +167,38 @@ def test_copy_last_baseline_oracle(setup):
     assert np.all((0.0 <= acc) & (acc <= 1.0))
 
 
+def test_linear_extrapolation_baseline_oracle(setup):
+    """Constant-velocity honesty bar == the closed form, and it is EXACT
+    on an exactly linear trajectory (where copy-last is not)."""
+    from molecular_dynamics_neural_operator_tpu.rollout.baseline import (
+        copy_last_baseline,
+        linear_extrapolation_baseline,
+    )
+
+    cfg, params, traj, aa, w0 = setup
+    truth = traj.positions[4:12]
+    mse, acc = linear_extrapolation_baseline(w0[-2], w0[-1], truth, 8.0)
+    assert mse.shape == acc.shape == (8,)
+    prev, last = np.asarray(w0[-2]), np.asarray(w0[-1])
+    ahead = np.arange(1, 9, dtype=np.float32)[:, None, None]
+    want = np.mean(
+        ((last[None] + (last - prev)[None] * ahead) - truth) ** 2,
+        axis=(1, 2))
+    np.testing.assert_allclose(mse, want, rtol=1e-6)
+    assert np.all((0.0 <= acc) & (acc <= 1.0))
+
+    # exactness on a linear trajectory: x(t) = x0 + t*v
+    rng = np.random.default_rng(3)
+    x0 = rng.normal(size=(6, 3)).astype(np.float32) * 4
+    v = rng.normal(size=(6, 3)).astype(np.float32) * 0.01
+    frames = x0[None] + np.arange(6, dtype=np.float32)[:, None, None] * v
+    lin_mse, _ = linear_extrapolation_baseline(
+        frames[0], frames[1], frames[2:], 8.0)
+    copy_mse, _ = copy_last_baseline(frames[1], frames[2:], 8.0)
+    np.testing.assert_allclose(lin_mse, 0.0, atol=1e-10)
+    assert np.all(copy_mse > 0)
+
+
 def test_rebuilt_scatter_hint_choices():
     from molecular_dynamics_neural_operator_tpu.rollout.scan import (
         rebuilt_scatter_hint,

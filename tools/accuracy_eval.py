@@ -152,6 +152,7 @@ def main():
     # beats these numbers.
     from molecular_dynamics_neural_operator_tpu.rollout.baseline import (
         copy_last_baseline,
+        linear_extrapolation_baseline,
     )
 
     base_mse, base_acc = copy_last_baseline(w0[-1], truth, 8.0)
@@ -169,6 +170,25 @@ def main():
         "step10": float(mses[min(9, fin-1)] / base_mse[min(9, fin-1)])
         if fin >= 10 else None,
         "step100": float(mses[min(99, fin-1)] / base_mse[min(99, fin-1)])
+        if fin >= 100 else None,
+    }
+    # Second honesty bar: constant-velocity extrapolation (rollout/
+    # baseline.py) — the stronger trivial forecaster on smooth data; a
+    # learned operator's value shows as <1 at LONG horizons where the
+    # linear forecast diverges.
+    ex_mse, ex_acc = linear_extrapolation_baseline(
+        w0[-2], w0[-1], truth, 8.0)
+    out["baseline_extrapolation"] = {
+        "coord_mse": {"step1": float(ex_mse[0]),
+                      "step10": float(ex_mse[min(9, len(ex_mse)-1)]),
+                      "step100": float(ex_mse[min(99, len(ex_mse)-1)])},
+        "contact_map_accuracy_mean": float(ex_acc.mean()),
+    }
+    out["model_over_extrapolation_mse"] = {
+        "step1": float(mses[0] / ex_mse[0]) if fin >= 1 else None,
+        "step10": float(mses[min(9, fin-1)] / ex_mse[min(9, fin-1)])
+        if fin >= 10 else None,
+        "step100": float(mses[min(99, fin-1)] / ex_mse[min(99, fin-1)])
         if fin >= 100 else None,
     }
     print(json.dumps(out, indent=2))
