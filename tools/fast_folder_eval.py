@@ -75,6 +75,12 @@ def run_preset(name: str, train_steps: int, horizon: int, k: int,
     cm_rmse = np.sqrt(np.mean((cm_pred - cm_true) ** 2, axis=(1, 2)))
     cm_acc = np.mean(cm_pred == cm_true, axis=(1, 2))
 
+    # honesty bars (rollout/baseline.py): copy-last + constant-velocity
+    from molecular_dynamics_neural_operator_tpu.rollout.baseline import (
+        copy_last_baseline, linear_extrapolation_baseline)
+    base_mse, base_acc = copy_last_baseline(w0[-1], truth, 8.0)
+    ex_mse, ex_acc = linear_extrapolation_baseline(w0[-2], w0[-1], truth, 8.0)
+
     # single-stream rollout throughput (slope between two lengths)
     def run_len(n):
         roll = make_rollout_fn(cfg, num_steps=n, clip=100.0)
@@ -99,6 +105,12 @@ def run_preset(name: str, train_steps: int, horizon: int, k: int,
             np.isfinite(coords).all(axis=(1, 2)).sum()),
         "contact_map_rmse_mean": float(cm_rmse.mean()),
         "contact_map_accuracy_mean": float(cm_acc.mean()),
+        "baseline_copy_last_contact_accuracy_mean": float(base_acc.mean()),
+        "baseline_extrapolation_contact_accuracy_mean": float(ex_acc.mean()),
+        "model_over_copy_last_mse_mean": float(
+            np.mean(np.asarray(mses)) / np.mean(base_mse)),
+        "model_over_extrapolation_mse_mean": float(
+            np.mean(np.asarray(mses)) / np.mean(ex_mse)),
         "rollout_steps_per_s": round(steps_per_s, 0),
     }
 

@@ -201,6 +201,7 @@ def main():
     # learning (a near-static trajectory hands the baseline ~100% too).
     from molecular_dynamics_neural_operator_tpu.rollout.baseline import (
         copy_last_baseline,
+        linear_extrapolation_baseline,
     )
 
     base_mses, base_acc = copy_last_baseline(w0[-1], truth, 8.0)
@@ -210,6 +211,15 @@ def main():
     out["baseline_copy_last_contact_accuracy_mean"] = float(base_acc.mean())
     out["model_beats_copy_last_mse"] = bool(
         np.mean(mses) < np.mean(base_mses))
+    ex_mses, ex_acc = linear_extrapolation_baseline(
+        w0[-2], w0[-1], truth, 8.0)
+    out["baseline_extrapolation_mse_step1"] = float(ex_mses[0])
+    out["baseline_extrapolation_mse_step100"] = float(
+        ex_mses[min(99, len(ex_mses) - 1)])
+    out["baseline_extrapolation_contact_accuracy_mean"] = float(
+        ex_acc.mean())
+    out["model_beats_extrapolation_mse"] = bool(
+        np.mean(mses) < np.mean(ex_mses))
     out["peak_rss_gb"] = round(rss_gb(), 2)
 
     print(json.dumps(out, indent=2))
