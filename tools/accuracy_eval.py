@@ -191,6 +191,21 @@ def main():
         "step100": float(mses[min(99, fin-1)] / ex_mse[min(99, fin-1)])
         if fin >= 100 else None,
     }
+    if len(mses) > 100:
+        # long-horizon runs: keep the full (decimated) curves so the
+        # extrapolation-divergence crossover is in the artifact
+        stride = max(1, len(mses) // 200)
+        idx = list(range(0, min(fin, len(mses)), stride))
+        out["per_step_mse"] = {
+            "stride": stride,
+            "model": [float(mses[i]) for i in idx],
+            "copy_last": [float(base_mse[i]) for i in idx],
+            "extrapolation": [float(ex_mse[i]) for i in idx],
+        }
+        ratio = np.asarray(mses[:fin]) / np.asarray(ex_mse[:fin])
+        below = np.nonzero(ratio < 1.0)[0]
+        out["extrapolation_crossover_step"] = (
+            int(below[0]) + 1 if below.size else None)
     print(json.dumps(out, indent=2))
     if args.out:
         _Path(args.out).write_text(json.dumps(out, indent=2) + "\n")
