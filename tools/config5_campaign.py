@@ -116,6 +116,12 @@ def main():
                    help="velocity window encoding (configs.py:81-82) — "
                         "puts the ~1e-4-relative per-step displacement "
                         "signal at unit scale for the LSTM encoder")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="average gradients over N consecutive B=1 "
+                        "micro-steps before each optimizer update "
+                        "(optax.MultiSteps) — batch diversity without "
+                        "the (E, w, w) kernel-tensor memory wall that "
+                        "forces B=1 at 10k atoms")
     p.add_argument("--scheduler_step", type=int, default=10_000)
     p.add_argument("--scheduler_gamma", type=float, default=1.0)
     p.add_argument("--sample_pairs", type=int, default=8192,
@@ -194,6 +200,10 @@ def main():
                        threshold=args.threshold, edge_layout="blocked")
 
     state, tx, _ = create_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    if args.grad_accum > 1:
+        import optax
+        tx = optax.MultiSteps(tx, every_k_schedule=args.grad_accum)
+        state = state._replace(opt_state=tx.init(state.params))
     # unroll_scans: at 10k atoms / 400k-edge capacity a scan-wrapped
     # rollout body is a 28+ minute compile over the dev tunnel
     # (docs/PERFORMANCE.md "Large-system smoke"); unrolled it compiles
