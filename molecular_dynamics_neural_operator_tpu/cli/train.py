@@ -40,15 +40,17 @@ def parse_args(argv=None):
     # prefetch_to_device queue (data/prefetch.py), so: prefetch_factor maps
     # onto the prefetch depth; the other three are accepted for drop-in
     # compatibility with reference command lines and warned as no-ops.
+    # The reference's `type=bool` (graph_kernel.py:336,338) makes EVERY
+    # non-empty string truthy — "--generate_movie False" silently stays on.
+    # Accept the common falsy spellings instead of reproducing that trap.
+    _flag = lambda s: s.lower() not in ("false", "0", "no", "off")  # noqa: E731
     p.add_argument("--num_data_workers", type=int, default=0)
     p.add_argument("--prefetch_factor", type=int, default=2)
-    p.add_argument("--persistent_workers", type=lambda s: s != "False",
-                   default=False)
-    p.add_argument("--non_blocking", type=lambda s: s != "False",
-                   default=False)
-    p.add_argument("--generate_movie", type=lambda s: s != "False", default=True)
+    p.add_argument("--persistent_workers", type=_flag, default=False)
+    p.add_argument("--non_blocking", type=_flag, default=False)
+    p.add_argument("--generate_movie", type=_flag, default=True)
     p.add_argument("--num_movie_frames", type=int, default=5)
-    p.add_argument("--plot_latent", type=lambda s: s != "False", default=True)
+    p.add_argument("--plot_latent", type=_flag, default=True)
     p.add_argument("--plot_per_epochs", type=int, default=1)
     p.add_argument("--window_size", type=int, default=10)
     p.add_argument("--num_residues", type=int, default=28)
@@ -91,6 +93,11 @@ def parse_args(argv=None):
                         "on the training windows; targets stay clean so "
                         "the model learns to correct drifting inputs "
                         "(0 disables — reference behavior)")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="average this many micro-batch gradients per "
+                        "optimizer apply (optax.MultiSteps) — batch "
+                        "diversity when memory caps the per-step batch "
+                        "size; StepLR boundaries stay in epochs")
     p.add_argument("--grad_clip_norm", type=float, default=None,
                    help="global-norm gradient clipping (default: 1.0 when "
                         "the curriculum is on, else off)")
@@ -233,6 +240,7 @@ def build_configs(args):
         noise_std=args.noise_std,
         grad_clip_norm=clip,
         skip_nonfinite_updates=skip_nf,
+        grad_accum=args.grad_accum,
         seed=args.seed,
         epochs=args.epochs,
         batch_size=args.batch_size,
@@ -313,6 +321,7 @@ def _main_fno(args, data_cfg, train_cfg):
         train_cfg.scheduler_gamma, steps_per_epoch,
         grad_clip_norm=train_cfg.grad_clip_norm,
         skip_nonfinite_updates=train_cfg.skip_nonfinite_updates,
+        grad_accum=train_cfg.grad_accum,
     )
     params = fno_init(jax.random.PRNGKey(train_cfg.seed), cfg)
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32),

@@ -175,6 +175,11 @@ class TrainConfig:
     scheduler_gamma: float = 0.8
     grad_clip_norm: float = 0.0  # >0 enables global-norm gradient clipping
     skip_nonfinite_updates: bool = False  # reject NaN/inf update steps
+    # Average this many micro-batch gradients per optimizer apply
+    # (optax.MultiSteps). Batch diversity when device memory forces a
+    # small per-step batch — e.g. 10k-atom systems where the (E, w, w)
+    # kernel tensor caps B at 1. 1 disables (reference behavior).
+    grad_accum: int = 1
     drop_last: bool = True
     shuffle: bool = True
     # Curriculum: number of free-rollout steps mixed into the loss

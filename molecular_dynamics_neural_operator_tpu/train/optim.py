@@ -33,6 +33,7 @@ def make_optimizer(
     steps_per_epoch: int = 1,
     grad_clip_norm: float = 0.0,
     skip_nonfinite_updates: bool = False,
+    grad_accum: int = 1,
 ):
     """grad_clip_norm > 0 prepends global-norm clipping, and
     ``skip_nonfinite_updates`` wraps the whole chain in
@@ -40,8 +41,19 @@ def make_optimizer(
     of poisoning the parameters — note clip_by_global_norm alone propagates
     NaN). Both matter for the rollout curriculum, whose unrolled
     multi-step backward can spike; the reference trains purely
-    teacher-forced and has no counterpart."""
-    schedule = step_lr_schedule(lr, scheduler_step, scheduler_gamma, steps_per_epoch)
+    teacher-forced and has no counterpart.
+
+    ``grad_accum > 1`` wraps the chain in ``optax.MultiSteps``: every
+    optimizer apply averages that many micro-batch gradients (clipping and
+    Adam moments see the *averaged* gradient). ``steps_per_epoch`` stays in
+    micro-step units — the StepLR boundary is rescaled internally, because
+    the inner chain's step count only advances on real applies. Order vs
+    ``apply_if_finite``: the finiteness guard stays OUTERMOST so a
+    non-finite micro-batch is dropped before it can poison the
+    accumulation window."""
+    schedule = step_lr_schedule(
+        lr, scheduler_step, scheduler_gamma,
+        max(1, steps_per_epoch // max(1, grad_accum)))
     parts = []
     if grad_clip_norm and grad_clip_norm > 0:
         parts.append(optax.clip_by_global_norm(grad_clip_norm))
@@ -51,6 +63,8 @@ def make_optimizer(
         optax.scale_by_learning_rate(schedule),
     ]
     tx = optax.chain(*parts)
+    if grad_accum and grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
     if skip_nonfinite_updates:
         # NOTE: after max_consecutive_errors consecutive non-finite
         # gradients optax gives up and APPLIES the poisoned update — at the

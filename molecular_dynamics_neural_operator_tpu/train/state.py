@@ -53,6 +53,7 @@ def create_train_state(
         steps_per_epoch=steps_per_epoch,
         grad_clip_norm=train_cfg.grad_clip_norm,
         skip_nonfinite_updates=train_cfg.skip_nonfinite_updates,
+        grad_accum=train_cfg.grad_accum,
     )
     opt_state = tx.init(params)
     state = TrainState(

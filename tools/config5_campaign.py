@@ -194,16 +194,13 @@ def main():
     tcfg = TrainConfig(lr=args.lr, weight_decay=1e-6, batch_size=1,
                        grad_clip_norm=1.0, skip_nonfinite_updates=True,
                        scheduler_step=args.scheduler_step,
-                       scheduler_gamma=args.scheduler_gamma)
+                       scheduler_gamma=args.scheduler_gamma,
+                       grad_accum=args.grad_accum)
     ds = WindowDataset(traj, window_size=cfg.window_size,
                        graph_mode="sparse", max_edges=max_edges,
                        threshold=args.threshold, edge_layout="blocked")
 
     state, tx, _ = create_train_state(jax.random.PRNGKey(0), cfg, tcfg)
-    if args.grad_accum > 1:
-        import optax
-        tx = optax.MultiSteps(tx, every_k_schedule=args.grad_accum)
-        state = state._replace(opt_state=tx.init(state.params))
     # unroll_scans: at 10k atoms / 400k-edge capacity a scan-wrapped
     # rollout body is a 28+ minute compile over the dev tunnel
     # (docs/PERFORMANCE.md "Large-system smoke"); unrolled it compiles
