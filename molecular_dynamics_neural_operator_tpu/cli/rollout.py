@@ -41,6 +41,10 @@ def parse_args(argv=None):
     p.add_argument("--compute_dtype", choices=["float32", "bfloat16"],
                    default="bfloat16")
     p.add_argument("--predict_delta", action="store_true")
+    p.add_argument("--predict_prior", choices=["last", "extrapolate"],
+                   default="last",
+                   help="must match the training flag (constant-velocity "
+                        "vs copy-last residual base)")
     p.add_argument("--electrostatics", choices=["none", "dh"],
                    default="none",
                    help="must match the training flag: checkpoints trained "
@@ -118,6 +122,7 @@ def main(argv=None):
         num_cells=args.num_cells,
         compute_dtype=args.compute_dtype,
         predict_delta=args.predict_delta,
+        predict_prior=args.predict_prior,
         electrostatics=args.electrostatics,
         window_diff=args.window_diff,
         window_diff_scale=args.window_diff_scale,

@@ -66,6 +66,8 @@ def parse_args(argv=None):
     p.add_argument("--compute_dtype", choices=["float32", "bfloat16"],
                    default="bfloat16")
     p.add_argument("--predict_delta", action="store_true")
+    p.add_argument("--predict_prior", choices=["last", "extrapolate"],
+                   default="last")
     p.add_argument("--compilation_cache", type=Path, default=None)
     return p.parse_args(argv)
 
@@ -104,6 +106,7 @@ def _load(args):
             graph_mode=args.graph_mode, max_edges=args.max_edges,
             compute_dtype=args.compute_dtype,
             predict_delta=args.predict_delta,
+            predict_prior=args.predict_prior,
         )
         ckpt = args.checkpoint
     template = gkn_init(jax.random.PRNGKey(0), cfg)

@@ -139,6 +139,13 @@ def parse_args(argv=None):
     p.add_argument("--compute_dtype", choices=["float32", "bfloat16"],
                    default="bfloat16")
     p.add_argument("--predict_delta", action="store_true")
+    p.add_argument("--predict_prior", choices=["last", "extrapolate"],
+                   default="last",
+                   help="base forecast the predict_delta head corrects: "
+                        "'last' = copy-last frame; 'extrapolate' = "
+                        "constant-velocity (2x_t - x_{t-1}, GNS-style) — "
+                        "a zero head equals linear extrapolation instead "
+                        "of a frozen frame")
     p.add_argument("--window_diff", action="store_true",
                    help="encode the window as [last frame ; scaled frame "
                         "diffs]: on slowly-varying trajectories raw frames "
@@ -214,6 +221,7 @@ def build_configs(args):
         ),
         compute_dtype=args.compute_dtype,
         predict_delta=args.predict_delta,
+        predict_prior=args.predict_prior,
         window_diff=args.window_diff,
         window_diff_scale=args.window_diff_scale,
         electrostatics=args.electrostatics,

@@ -71,6 +71,13 @@ class ModelConfig:
     # (graph_kernel.py:305 predicts absolute positions); on, it keeps free
     # rollout numerically stable far longer.
     predict_delta: bool = False
+    # Base forecast the predict_delta head corrects. "last" = copy-last
+    # (out = head + x_t); "extrapolate" = GNS-style constant-velocity
+    # prior (out = head + 2 x_t - x_{t-1}): a zero head equals linear
+    # extrapolation instead of a frozen frame, so training starts from
+    # the stronger baseline and the head learns the acceleration-scale
+    # correction. Only read when predict_delta=True; needs window >= 2.
+    predict_prior: str = "last"  # "last" | "extrapolate"
     # Encode the window as [last frame ; scaled frame-to-frame diffs]
     # instead of raw frames (same (T, R, 3) shape — no parameter change).
     # Raw frames make the LSTM extract per-step motion as a ~1e-4-relative

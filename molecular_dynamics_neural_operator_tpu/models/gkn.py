@@ -168,6 +168,32 @@ def _encode_nodes(params, cfg: ModelConfig, aa: Array, window: Array) -> Array:
     return jax.nn.relu(linear_apply(params["fc1"], x))
 
 
+def residual_prior(cfg: ModelConfig, window: Array) -> Array:
+    """Base forecast corrected by the ``predict_delta`` head. ``window``
+    carries the time axis at -3: (T, R, 3) or (B, T, R, 3).
+
+    "last" reproduces copy-last (out = head + x_t, the round-1 residual
+    head); "extrapolate" is the GNS-style constant-velocity prior
+    (out = head + 2 x_t - x_{t-1}): a zero head output equals linear
+    extrapolation instead of a frozen frame, so optimization starts from
+    the stronger baseline and the head learns the acceleration-scale
+    correction. (Motivated by the measured 10k-atom zero-delta attractor:
+    training with the copy-last prior parks AT copy-last even when the
+    next delta is linearly representable from the window —
+    docs/PERFORMANCE.md, tools/config5_results_rough.json.)"""
+    last = window[..., -1, :, :]
+    if cfg.predict_prior == "last":
+        return last
+    if cfg.predict_prior == "extrapolate":
+        if window.shape[-3] < 2:
+            raise ValueError(
+                "predict_prior='extrapolate' needs a window of >= 2 "
+                f"frames, got window_size={window.shape[-3]}"
+            )
+        return 2.0 * last - window[..., -2, :, :]
+    raise ValueError(f"unknown predict_prior: {cfg.predict_prior!r}")
+
+
 def gkn_apply_single(
     params,
     cfg: ModelConfig,
@@ -312,10 +338,11 @@ def gkn_apply_single(
     latent = x
     out = linear_apply(params["fc2"], x)
     if cfg.predict_delta:
-        # Residual prediction: head outputs a displacement from the last
-        # observed frame. (New capability — the reference predicts absolute
-        # coordinates, graph_kernel.py:305, which destabilizes free rollout.)
-        out = out + window[-1]
+        # Residual prediction: head outputs a displacement from the prior
+        # forecast (copy-last or constant-velocity, residual_prior). New
+        # capability — the reference predicts absolute coordinates,
+        # graph_kernel.py:305, which destabilizes free rollout.
+        out = out + residual_prior(cfg, window)
     if return_latent:
         return out, latent
     return out
@@ -403,7 +430,7 @@ def _gkn_apply_pallas_batched(params, cfg: ModelConfig, batch: GKNBatch,
     latent = x
     out = jax.vmap(lambda xx: linear_apply(params["fc2"], xx))(x)
     if cfg.predict_delta:
-        out = out + batch.window[:, -1]
+        out = out + residual_prior(cfg, batch.window)
     if return_latent:
         return out, latent
     return out

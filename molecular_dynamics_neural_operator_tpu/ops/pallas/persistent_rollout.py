@@ -117,6 +117,7 @@ def _kernel(
     thr2: float,
     clip: float,
     predict_delta: bool,
+    extrapolate_prior: bool,
     compute_dtype: str,
     use_repeat: bool = False,
     use_dh: bool = False,
@@ -317,6 +318,10 @@ def _kernel(
         out = out + fc2_b_ref[:]
         if predict_delta:
             out = out + pos
+            if extrapolate_prior:
+                # constant-velocity prior (residual_prior, models/gkn.py):
+                # read the previous frame BEFORE the slide below.
+                out = out + (pos - window_ref[s, t_len - 2])
         if clip > 0:
             out = jnp.clip(out, -clip, clip)
         # where, not arithmetic mixing: 0 * inf from a saturated pad row
@@ -378,6 +383,11 @@ def persistent_rollout(
     r = int(aa.shape[0])
     t_len, width, kw = cfg.window_size, cfg.width, cfg.ker_width
     e_cap = cfg.max_edges
+    if (cfg.predict_delta and t_len < 2
+            and getattr(cfg, "predict_prior", "last") == "extrapolate"):
+        raise ValueError(
+            "predict_prior='extrapolate' needs window_size >= 2, got "
+            f"{t_len}")
     window0 = jnp.asarray(window0, jnp.float32)
     batched = window0.ndim == 4
     streams = int(window0.shape[0]) if batched else 1
@@ -486,7 +496,10 @@ def persistent_rollout(
         _kernel, t_len=t_len, r_pad=r_pad, e_cap=e_cap, width=width,
         depth=cfg.depth, thr2=float(threshold) ** 2,
         clip=float(clip) if clip is not None else 0.0,
-        predict_delta=cfg.predict_delta, compute_dtype=cd_str,
+        predict_delta=cfg.predict_delta,
+        extrapolate_prior=(
+            getattr(cfg, "predict_prior", "last") == "extrapolate"),
+        compute_dtype=cd_str,
         use_repeat=use_rep_eff, use_dh=use_dh,
         dh_kappa=float(dh_kappa), dh_lb=float(dh_lb),
         dh_min_dist=float(dh_min), streams=streams,

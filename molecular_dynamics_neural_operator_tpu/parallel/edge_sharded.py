@@ -29,6 +29,7 @@ from molecular_dynamics_neural_operator_tpu.configs import ModelConfig
 from molecular_dynamics_neural_operator_tpu.models.gkn import (
     _compute_dtype,
     _encode_nodes,
+    residual_prior,
 )
 from molecular_dynamics_neural_operator_tpu.ops import (
     edge_kernel_matrices,
@@ -107,8 +108,9 @@ def _forward_edge_shard(params, cfg: ModelConfig, aa, window, edges, mask,
         x = layer(x, params["conv2"], kernels2)
     out = linear_apply(params["fc2"], x)
     if cfg.predict_delta:
-        # Residual head, exactly as gkn_apply (models/gkn.py:271-275).
-        out = out + window[-1]
+        # Residual head, exactly as gkn_apply (residual_prior covers the
+        # copy-last AND constant-velocity priors).
+        out = out + residual_prior(cfg, window)
     return out
 
 

@@ -223,3 +223,42 @@ def test_blocked_scatter_training_forward_matches_segment():
         params, cfg_blk, featurize_batch(cfg_blk, ds_blk.get_batch(idx))
     )
     np.testing.assert_allclose(out_blk, out_csr, rtol=2e-5, atol=2e-6)
+
+
+def test_predict_prior_extrapolate_algebra(tiny_model_cfg):
+    """predict_prior='extrapolate' shifts the SAME head output by the
+    constant-velocity forecast: out_ex == out_last + (x_t - x_{t-1}).
+    A zero head therefore equals linear extrapolation, not copy-last
+    (models/gkn.py residual_prior)."""
+    import dataclasses
+
+    cfg_last = dataclasses.replace(tiny_model_cfg, predict_delta=True,
+                                   predict_prior="last")
+    cfg_ex = dataclasses.replace(cfg_last, predict_prior="extrapolate")
+    params = gkn_init(jax.random.PRNGKey(0), cfg_last)
+    batch = _dense_batch(cfg_last)
+    out_last = gkn_apply(params, cfg_last, batch)
+    out_ex = gkn_apply(params, cfg_ex, batch)
+    vel = batch.window[:, -1] - batch.window[:, -2]
+    np.testing.assert_allclose(np.asarray(out_ex),
+                               np.asarray(out_last + vel),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_predict_prior_validation(tiny_model_cfg):
+    import dataclasses
+
+    import pytest
+
+    cfg = dataclasses.replace(tiny_model_cfg, predict_delta=True,
+                              predict_prior="nonsense")
+    params = gkn_init(jax.random.PRNGKey(0), cfg)
+    batch = _dense_batch(cfg)
+    with pytest.raises(ValueError, match="predict_prior"):
+        gkn_apply(params, cfg, batch)
+    cfg1 = dataclasses.replace(tiny_model_cfg, predict_delta=True,
+                               predict_prior="extrapolate", window_size=1)
+    params1 = gkn_init(jax.random.PRNGKey(0), cfg1)
+    batch1 = _dense_batch(cfg1)
+    with pytest.raises(ValueError, match="window"):
+        gkn_apply(params1, cfg1, batch1)

@@ -26,12 +26,15 @@ def _cfg(**kw):
     return ModelConfig(**base)
 
 
-@pytest.mark.parametrize("r,predict_delta", [(12, True), (11, True),
-                                             (12, False)])
-def test_persistent_matches_scan(r, predict_delta):
+@pytest.mark.parametrize("r,predict_delta,prior", [
+    (12, True, "last"), (11, True, "last"), (12, False, "last"),
+    (12, True, "extrapolate")])
+def test_persistent_matches_scan(r, predict_delta, prior):
     """Same trajectory as the XLA rollout scan, including non-multiple-of-8
-    residue counts (pad rows must never contaminate the graph)."""
-    cfg = _cfg(num_residues=r, predict_delta=predict_delta)
+    residue counts (pad rows must never contaminate the graph) and the
+    constant-velocity residual prior (in-kernel prev-frame read)."""
+    cfg = _cfg(num_residues=r, predict_delta=predict_delta,
+               predict_prior=prior)
     params = gkn_init(jax.random.PRNGKey(0), cfg)
     traj = synthetic_trajectory(num_frames=6, num_residues=r, seed=5)
     aa = jnp.asarray(traj.aminoacids)

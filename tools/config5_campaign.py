@@ -112,6 +112,12 @@ def main():
     p.add_argument("--amplitude", type=float, default=0.35)
     p.add_argument("--dt", type=float, default=0.02)
     p.add_argument("--threshold", type=float, default=8.0)
+    p.add_argument("--predict_prior", choices=["last", "extrapolate"],
+                   default="last",
+                   help="residual-head base forecast (models/gkn.py "
+                        "residual_prior): 'extrapolate' starts training "
+                        "from the constant-velocity baseline instead of "
+                        "copy-last")
     p.add_argument("--window_diff", action="store_true",
                    help="velocity window encoding (configs.py:81-82) — "
                         "puts the ~1e-4-relative per-step displacement "
@@ -185,7 +191,8 @@ def main():
         compute_dtype="float32", graph_mode="sparse",
         num_residues=args.nodes, max_edges=max_edges,
         width=args.width, ker_width=args.ker_width, depth=args.depth,
-        predict_delta=True, electrostatics="dh",
+        predict_delta=True, predict_prior=args.predict_prior,
+        electrostatics="dh",
         scatter_mode="blocked", train_conv_impl="xla",
         neighbor_impl="cell_list", max_degree=max_degree,
         cell_capacity=32, num_cells=16384,
