@@ -71,6 +71,10 @@ def main():
     p.add_argument("--noise_std", type=float, default=0.0,
                    help="GNS-style random-walk input-noise std on the "
                         "training windows (0 disables)")
+    p.add_argument("--predict_prior", choices=["last", "extrapolate"],
+                   default="last",
+                   help="residual-head base forecast (models/gkn.py "
+                        "residual_prior)")
     p.add_argument("--window_diff", action="store_true",
                    help="encode the window as [last frame ; scaled frame "
                         "diffs] so the LSTM sees velocities directly")
@@ -91,6 +95,7 @@ def main():
     traj = synthetic_trajectory(num_frames=args.frames, num_residues=28, seed=11)
     cfg = ModelConfig(compute_dtype=args.dtype, graph_mode="sparse",
                       max_edges=args.max_edges, predict_delta=True,
+                      predict_prior=args.predict_prior,
                       train_conv_impl=args.train_conv_impl,
                       window_diff=args.window_diff,
                       window_diff_scale=args.window_diff_scale)
