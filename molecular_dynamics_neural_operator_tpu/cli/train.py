@@ -111,6 +111,10 @@ def parse_args(argv=None):
     p.add_argument("--fno_modes", type=int, default=12)
     p.add_argument("--fno_width", type=int, default=32)
     p.add_argument("--fno_depth", type=int, default=4)
+    p.add_argument("--fno_predict_prior", choices=["last", "extrapolate"],
+                   default="last",
+                   help="FNO residual base: copy-last distance matrix or "
+                        "constant-velocity 2 D_t - D_{t-1}")
     p.add_argument("--fno_predict_delta", action="store_true",
                    help="FNO residual head: predict the distance-matrix "
                         "change on top of the last input channel (the "
@@ -308,6 +312,7 @@ def _main_fno(args, data_cfg, train_cfg):
         depth=args.fno_depth, in_channels=args.window_size,
         num_residues=traj.num_residues,
         predict_delta=args.fno_predict_delta,
+        predict_prior=args.fno_predict_prior,
     )
     # config.json parity with the GKN path: --run_path consumers
     # (examples/bba_analysis.py, cli/export.py) read the fno section.

@@ -148,6 +148,13 @@ class FNOConfig:
     # absolute head must reconstruct the full matrix to beat copy-last
     # (measured: 553x copy-last step-1 MSE without it).
     predict_delta: bool = False
+    # Base forecast for the residual head, as ModelConfig.predict_prior:
+    # "last" = copy-last channel; "extrapolate" = constant-velocity on
+    # distance matrices (2 D_t - D_{t-1}) — a zero head equals linear
+    # extrapolation, attacking the copy-last attractor the trained FNO
+    # plateaued at (tools/fno_accuracy_results_delta*.json). Needs
+    # in_channels >= 2.
+    predict_prior: str = "last"  # "last" | "extrapolate"
 
 
 @dataclass(frozen=True)

@@ -185,7 +185,15 @@ def fno_apply(params, cfg: FNOConfig, x: Array, return_latent: bool = False):
         # Residual head: the last input channel is the most recent
         # distance matrix, so the network only has to model the ~1e-4
         # relative per-step change (broadcasts over out_channels).
-        out = out + x[..., -1:]
+        prior = getattr(cfg, "predict_prior", "last")
+        if prior == "last":
+            out = out + x[..., -1:]
+        elif prior == "extrapolate":
+            # constant-velocity prior on distance matrices
+            # (residual_prior semantics, models/gkn.py)
+            out = out + 2.0 * x[..., -1:] - x[..., -2:-1]
+        else:
+            raise ValueError(f"unknown predict_prior: {prior!r}")
     if return_latent:
         return out, latent
     return out

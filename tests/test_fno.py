@@ -254,3 +254,30 @@ def test_predict_delta_residual_head():
     preds, _ = fno_rollout_scan(params, cfg_d, ch0, 3)
     assert preds.shape == (3, 16, 16)
     assert np.isfinite(np.asarray(preds)).all()
+
+
+def test_fno_predict_prior_extrapolate_algebra():
+    """FNO residual prior: out_ex == out_last + (D_t - D_{t-1}) for the
+    same params (constant-velocity on distance matrices)."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from molecular_dynamics_neural_operator_tpu.configs import FNOConfig
+    from molecular_dynamics_neural_operator_tpu.models.fno import (
+        fno_apply,
+        fno_init,
+    )
+
+    cfg = FNOConfig(width=8, modes1=4, modes2=4, depth=2, in_channels=4,
+                    num_residues=12, predict_delta=True)
+    cfg_ex = dataclasses.replace(cfg, predict_prior="extrapolate")
+    params = fno_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 12, 12, 4))
+    out_last = fno_apply(params, cfg, x)
+    out_ex = fno_apply(params, cfg_ex, x)
+    vel = x[..., -1:] - x[..., -2:-1]
+    np.testing.assert_allclose(np.asarray(out_ex),
+                               np.asarray(out_last + vel),
+                               rtol=1e-5, atol=1e-6)

@@ -60,6 +60,10 @@ def main():
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--predict_delta", action="store_true",
                    help="residual head (out = last DM + network)")
+    p.add_argument("--predict_prior", choices=["last", "extrapolate"],
+                   default="last",
+                   help="residual base: copy-last DM or constant-velocity "
+                        "2 D_t - D_{t-1} (FNOConfig.predict_prior)")
     p.add_argument("--compilation_cache", type=str, default=None)
     args = p.parse_args()
 
@@ -74,7 +78,8 @@ def main():
     cfg = FNOConfig(width=args.width, modes1=args.modes, modes2=args.modes,
                     depth=args.depth, in_channels=args.window,
                     num_residues=traj.num_residues,
-                    predict_delta=args.predict_delta)
+                    predict_delta=args.predict_delta,
+                    predict_prior=args.predict_prior)
     ds = WindowDataset(traj, window_size=args.window, graph_mode="none")
     tr_idx, va_idx = train_valid_split(len(ds), 0.8, "partition")
     # curriculum batches need idx + window + K <= num_frames
