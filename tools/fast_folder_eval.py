@@ -29,7 +29,7 @@ import numpy as np
 
 
 def run_preset(name: str, train_steps: int, horizon: int, k: int,
-               frames: int, batch: int, lr: float) -> dict:
+               frames: int, batch: int, lr: float, prior="last") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -48,6 +48,7 @@ def run_preset(name: str, train_steps: int, horizon: int, k: int,
     cfg = dataclasses.replace(
         PRESETS[name], compute_dtype="float32", graph_mode="sparse",
         max_edges=PRESETS[name].max_edges, predict_delta=True,
+        predict_prior=prior,
     )
     r = cfg.num_residues
     traj = synthetic_trajectory(num_frames=frames, num_residues=r, seed=13)
@@ -124,13 +125,15 @@ def main():
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--presets", nargs="+", default=["trp_cage", "villin"])
+    p.add_argument("--predict_prior", choices=["last", "extrapolate"],
+                   default="last")
     p.add_argument("--out", type=Path,
                    default=Path(__file__).parent / "fast_folder_results.json")
     args = p.parse_args()
 
     results = [
         run_preset(name, args.steps, args.horizon, args.k, args.frames,
-                   args.batch, args.lr)
+                   args.batch, args.lr, prior=args.predict_prior)
         for name in args.presets
     ]
     args.out.write_text(json.dumps(results, indent=2))
