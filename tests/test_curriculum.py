@@ -623,3 +623,25 @@ def test_curriculum_cell_list_rebuild_matches_brute_force():
     # itself — the mse metric (all K steps, forward-only) must agree.
     np.testing.assert_allclose(losses["cl_trunc"][1], losses["bf"][1],
                                rtol=1e-5)
+
+
+def test_curriculum_with_extrapolate_prior_trains():
+    """K-step curriculum through the constant-velocity residual prior:
+    free steps slide windows built from prior-corrected predictions;
+    training stays finite and reduces the multi-step loss."""
+    import dataclasses
+
+    cfg, tcfg, traj, ds = _setup()
+    cfg = dataclasses.replace(cfg, predict_delta=True,
+                              predict_prior="extrapolate")
+    state, tx, _ = create_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    step = make_curriculum_train_step(cfg, tx, rollout_steps=3,
+                                      coord_clip=1000.0)
+    losses = []
+    for epoch in range(6):
+        for batch in batch_iterator(ds, np.arange(len(ds)), 8, seed=0,
+                                    epoch=epoch, rollout_horizon=3):
+            state, m = step(state, batch)
+        losses.append(float(m["rel_l2"]))
+    assert np.isfinite(losses).all(), losses
+    assert losses[-1] < losses[0], losses
