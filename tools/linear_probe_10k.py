@@ -47,6 +47,27 @@ def filter_mse(coords, c, t0, t1):
     return err / n
 
 
+def exact_annihilator(dt: float, seed: int = 0):
+    """The order-2m Prony annihilator of the breathing field's m temporal
+    modes: prod_m (z^2 - 2 cos(w_m dt) z + 1). Applied to past deltas it
+    predicts the next delta EXACTLY on infinite-precision data — but its
+    coefficients grow combinatorially (|c| up to ~1e4 at m=8), so on
+    f32-stored coordinates it amplifies the ~3e-6 A quantization noise
+    above the extrapolation residual: constant velocity is the practical
+    optimum for this family at storage precision. (Uses the same RNG
+    consumption order as breathing_trajectory.)"""
+    rng = np.random.default_rng(seed)
+    m = 8
+    rng.normal(size=(m, 3))            # k (unused here)
+    rng.uniform(0, 2 * np.pi, size=m)  # phi
+    rng.uniform(0, 2 * np.pi, size=m)  # psi
+    w = rng.uniform(0.5, 2.0, size=m).astype(np.float32)
+    poly = np.array([1.0])
+    for wm in w:
+        poly = np.convolve(poly, np.array([1.0, -2 * np.cos(wm * dt), 1.0]))
+    return -poly[1:]  # delta(t+1) = sum_j c_j delta(t-j)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--nodes", type=int, default=10_000)
@@ -80,6 +101,7 @@ def main():
                         atb)
 
     t0, t1 = split, args.frames - 1
+    theory = exact_annihilator(args.dt)
     res = {
         "config": vars(args),
         "filter": c.tolist(),
@@ -88,7 +110,10 @@ def main():
             "copy_last": filter_mse(coords, np.zeros(taps), t0, t1),
             "extrapolation": filter_mse(
                 coords, np.eye(1, taps, 0).ravel(), t0, t1),
+            "exact_annihilator": filter_mse(coords, theory, t0, t1),
         },
+        "annihilator_noise_amplification": float(
+            np.sqrt((theory * theory).sum())),
     }
     m = res["heldout_mse"]
     res["probe_over_copy_last"] = m["linear_probe"] / m["copy_last"]
