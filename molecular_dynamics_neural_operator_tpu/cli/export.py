@@ -59,6 +59,9 @@ def parse_args(argv=None):
     p.add_argument("--predict_delta", action="store_true")
     p.add_argument("--predict_prior", choices=["last", "extrapolate"],
                    default="last")
+    p.add_argument("--prior_damping", type=float, default=1.0,
+                   help="damping on the extrapolate prior "
+                        "(must match training)")
     return p.parse_args(argv)
 
 
@@ -107,6 +110,7 @@ def main(argv=None):
             compute_dtype=args.compute_dtype,
             predict_delta=args.predict_delta,
             predict_prior=args.predict_prior,
+            prior_damping=args.prior_damping,
         )
         init = gkn_init
     if ckpt is None:

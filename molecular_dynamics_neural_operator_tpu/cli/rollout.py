@@ -49,6 +49,8 @@ def parse_args(argv=None):
                    default="none",
                    help="must match the training flag: checkpoints trained "
                         "with dh have a wider fc1")
+    p.add_argument("--prior_damping", type=float, default=1.0,
+                   help="damping on the extrapolate prior (must match training)")
     p.add_argument("--window_diff", action="store_true",
                    help="must match the training flag: the parameter tree "
                         "is identical either way, so a mismatch is "
@@ -123,6 +125,7 @@ def main(argv=None):
         compute_dtype=args.compute_dtype,
         predict_delta=args.predict_delta,
         predict_prior=args.predict_prior,
+        prior_damping=args.prior_damping,
         electrostatics=args.electrostatics,
         window_diff=args.window_diff,
         window_diff_scale=args.window_diff_scale,

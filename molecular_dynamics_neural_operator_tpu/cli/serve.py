@@ -68,6 +68,9 @@ def parse_args(argv=None):
     p.add_argument("--predict_delta", action="store_true")
     p.add_argument("--predict_prior", choices=["last", "extrapolate"],
                    default="last")
+    p.add_argument("--prior_damping", type=float, default=1.0,
+                   help="damping on the extrapolate prior "
+                        "(must match training)")
     p.add_argument("--compilation_cache", type=Path, default=None)
     return p.parse_args(argv)
 
@@ -107,6 +110,7 @@ def _load(args):
             compute_dtype=args.compute_dtype,
             predict_delta=args.predict_delta,
             predict_prior=args.predict_prior,
+            prior_damping=args.prior_damping,
         )
         ckpt = args.checkpoint
     template = gkn_init(jax.random.PRNGKey(0), cfg)

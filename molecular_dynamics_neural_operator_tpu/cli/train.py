@@ -150,6 +150,21 @@ def parse_args(argv=None):
                         "constant-velocity (2x_t - x_{t-1}, GNS-style) — "
                         "a zero head equals linear extrapolation instead "
                         "of a frozen frame")
+    p.add_argument("--prior_damping", type=float, default=1.0,
+                   help="damping on the extrapolate prior's implied "
+                        "velocity (prior = x_t + g (x_t - x_{t-1})): 1.0 "
+                        "is pure constant-velocity, < 1 contracts toward "
+                        "copy-last to bound long-horizon drift")
+    p.add_argument("--head_init", choices=["default", "zero"],
+                   default="default",
+                   help="'zero' zero-initializes the fc2 head (GNS "
+                        "practice) so the step-0 forecast is exactly the "
+                        "prior — required for a residual head that never "
+                        "hurts its prior")
+    p.add_argument("--kernel_init_scale", type=float, default=1.0,
+                   help="multiplier on the edge-kernel MLP's final-layer "
+                        "init; ~1/(2*depth) keeps the f32 init forward "
+                        "finite at depth 6 / 10k atoms")
     p.add_argument("--window_diff", action="store_true",
                    help="encode the window as [last frame ; scaled frame "
                         "diffs]: on slowly-varying trajectories raw frames "
@@ -226,6 +241,9 @@ def build_configs(args):
         compute_dtype=args.compute_dtype,
         predict_delta=args.predict_delta,
         predict_prior=args.predict_prior,
+        prior_damping=args.prior_damping,
+        head_init=args.head_init,
+        kernel_init_scale=args.kernel_init_scale,
         window_diff=args.window_diff,
         window_diff_scale=args.window_diff_scale,
         electrostatics=args.electrostatics,
@@ -313,6 +331,8 @@ def _main_fno(args, data_cfg, train_cfg):
         num_residues=traj.num_residues,
         predict_delta=args.fno_predict_delta,
         predict_prior=args.fno_predict_prior,
+        prior_damping=args.prior_damping,
+        head_init=args.head_init,
     )
     # config.json parity with the GKN path: --run_path consumers
     # (examples/bba_analysis.py, cli/export.py) read the fno section.

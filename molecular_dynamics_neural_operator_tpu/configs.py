@@ -78,6 +78,27 @@ class ModelConfig:
     # the stronger baseline and the head learns the acceleration-scale
     # correction. Only read when predict_delta=True; needs window >= 2.
     predict_prior: str = "last"  # "last" | "extrapolate"
+    # Damping on the extrapolate prior's implied velocity:
+    # prior = x_t + prior_damping * (x_t - x_{t-1}). 1.0 is pure
+    # constant-velocity; < 1 contracts toward copy-last, bounding the
+    # compounding long-horizon drift the undamped prior shows at 10k-atom
+    # scale (round-4: 9.2x copy-last at step 200 with edge overflow).
+    # Only read when predict_prior="extrapolate".
+    prior_damping: float = 1.0
+    # fc2 head initialization. "zero" (GNS practice) zero-initializes the
+    # head so the model's step-0 forecast IS its prior exactly — a
+    # standard-init head injects ~O(width^-1/2) noise the absolute-
+    # coordinate LpLoss barely penalizes at ~1e-4-relative displacement
+    # scale, measured to leave extrapolate-prior models 8-177x WORSE than
+    # bare extrapolation (round-4 prior gates). "default" keeps the
+    # reference's uniform init (graph_kernel.py:275).
+    head_init: str = "default"  # "default" | "zero"
+    # Multiplier on the edge-kernel MLP's FINAL layer init (weights and
+    # bias). The torch-default init overflows the f32 init forward at
+    # depth 6 / 10k atoms (activations compound through 2*depth convs —
+    # docs/PERFORMANCE.md "Config-5"); ~1/(2*depth) keeps the init
+    # forward O(input scale) at any depth. 1.0 = reference parity.
+    kernel_init_scale: float = 1.0
     # Encode the window as [last frame ; scaled frame-to-frame diffs]
     # instead of raw frames (same (T, R, 3) shape — no parameter change).
     # Raw frames make the LSTM extract per-step motion as a ~1e-4-relative
@@ -155,6 +176,12 @@ class FNOConfig:
     # plateaued at (tools/fno_accuracy_results_delta*.json). Needs
     # in_channels >= 2.
     predict_prior: str = "last"  # "last" | "extrapolate"
+    # Damping on the extrapolate prior (ModelConfig.prior_damping
+    # semantics): prior = D_t + prior_damping * (D_t - D_{t-1}).
+    prior_damping: float = 1.0
+    # "zero" zero-initializes the proj2 head (ModelConfig.head_init
+    # semantics): the step-0 forecast is exactly the prior.
+    head_init: str = "default"  # "default" | "zero"
 
 
 @dataclass(frozen=True)

@@ -8,7 +8,9 @@ from molecular_dynamics_neural_operator_tpu.data.windows import (
     batch_iterator,
 )
 from molecular_dynamics_neural_operator_tpu.data.synthetic import (
+    langevin_trajectory,
     synthetic_trajectory,
+    write_langevin_h5,
     write_synthetic_h5,
     write_synthetic_h5_streamed,
 )
@@ -25,7 +27,9 @@ __all__ = [
     "aminoacid_int_to_onehot",
     "WindowDataset",
     "batch_iterator",
+    "langevin_trajectory",
     "synthetic_trajectory",
+    "write_langevin_h5",
     "write_synthetic_h5",
     "write_synthetic_h5_streamed",
     "SchemaWarning",

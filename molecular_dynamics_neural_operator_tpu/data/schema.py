@@ -44,10 +44,12 @@ def detect_pointcloud_layout(shape, num_residues_hint=None) -> str:
     The reference unconditionally transposes (``dataset.py:159``); a file
     saved (N, R, 3) would come back as a 3-residue system with R-dim
     "coordinates". Disambiguation: exactly one of axes 1/2 equal to 3
-    decides; if both are 3 (a genuine 3-residue system is
-    indistinguishable), an ``num_residues_hint`` (e.g. from the
-    amino-acids dataset length) breaks the tie, else the reference
-    layout is assumed.
+    decides; if neither is 3, an ``num_residues_hint`` (e.g. from the
+    amino-acids dataset length) can still identify the residue axis.
+    A genuine 3-residue system (both axes 3) is UNDECIDABLE from shape
+    alone — and the hint is 3 as well, matching both axes — so the
+    reference layout is assumed with a SchemaWarning; a 3-residue
+    (N, R, 3) file must be transposed by the caller.
     """
     if len(shape) != 3:
         raise ValueError(
@@ -55,8 +57,15 @@ def detect_pointcloud_layout(shape, num_residues_hint=None) -> str:
         )
     _, a, b = shape
     if a == 3 and b == 3:
-        return "n3r"  # ambiguous; both layouts read identically modulo
-        # transpose, and the hint path below is only advisory
+        warnings.warn(
+            "point_cloud shape (N, 3, 3) is ambiguous — a 3-residue "
+            "system cannot be told apart from the reference's (N, 3, R) "
+            "layout by shape (the residue-count hint is 3 too); assuming "
+            "the reference layout. A 3-residue file saved (N, R, 3) "
+            "must be transposed before ingestion.",
+            SchemaWarning, stacklevel=2,
+        )
+        return "n3r"
     if a == 3:
         return "n3r"
     if b == 3:
@@ -126,6 +135,19 @@ def normalize_amino_labels(
             SchemaWarning, stacklevel=2,
         )
         arr = arr - 1
+    elif arr.size and lo >= 1 and hi <= num_embeddings - 1:
+        # Labels fit BOTH conventions (e.g. [1, 19]): a 1-based file that
+        # happens to lack the last residue type would be read 0-based,
+        # shifting every embedding index by one. Accept as 0-based (the
+        # reference's embedding path feeds raw values, dataset.py:162-164)
+        # but say so — silence here is an off-by-one nobody can see.
+        warnings.warn(
+            f"amino_acids labels span [{lo}, {hi}] — consistent with both "
+            "the 0-based and 1-based conventions; assuming 0-based "
+            "(reference embedding semantics). If this file is 1-based, "
+            "pre-shift the labels by -1.",
+            SchemaWarning, stacklevel=2,
+        )
     elif lo < 0 or hi >= num_embeddings:
         raise ValueError(
             f"amino_acids labels span [{lo}, {hi}] — outside both the "

@@ -125,6 +125,124 @@ def synthetic_trajectory(
     )
 
 
+def langevin_trajectory(
+    num_frames: int = 256,
+    num_residues: int = 28,
+    threshold: float = 8.0,
+    seed: int = 0,
+    dt: float = 0.05,
+    friction: float = 0.02,
+    kT: float = 0.5,
+    eps_well: float = 2.0,
+    well_width: float = 1.0,
+    k_backbone: float = 5.0,
+    k_center: float = 0.02,
+    network_cutoff: float = 10.0,
+    burn_in: int = 1000,
+) -> TrajectoryData:
+    """Langevin dynamics on an anharmonic (double-well) elastic network.
+
+    The second synthetic family: a data regime where LEARNING is required.
+    The 3-sinusoid ``synthetic_trajectory`` is noiseless and low-frequency,
+    so constant-velocity extrapolation is the optimal practical linear
+    predictor on it (proved by the repo's own probe,
+    ``tools/linear_probe_10k_results.json``) — no quality gate on that
+    family can show a network contributing anything a two-frame formula
+    doesn't know. This generator is built so both trivial forecasters
+    fail while the dynamics stay Markov-learnable from a coordinate
+    window:
+
+    - **anharmonic forces**: every contact pair (base-geometry distance <
+      ``network_cutoff``, from the same random-walk fold the sinusoid
+      family uses) interacts through a double-well potential
+      ``V(r) = eps ((r - r0)^2 - w^2)^2 / w^4`` with minima at r0 +- w —
+      large-amplitude, genuinely nonlinear motion with no normal-mode
+      (sum-of-sinusoids) structure, so linear predictors degrade within
+      steps. Backbone bonds are stiff harmonic springs; a weak harmonic
+      tether to the base fold (``k_center``) keeps the chain bounded.
+    - **acceleration dominates noise per frame**: BAOAB integration with
+      small friction/temperature puts the per-frame stochastic kick
+      (~1e-3 A) two orders below the per-frame force correction
+      (~1e-2 A), itself well below the per-frame drift (~1e-1 A). So
+      copy-last pays |v dt|, extrapolation pays |a dt^2|, and a model
+      that learns the force field can approach the noise floor —
+      the separation every quality gate needs.
+    - **Markov-learnable**: forces depend only on current positions, and
+      velocity is recoverable from any two window frames; the
+      edge-conditioned conv sees exactly the pair distances the forces
+      act through.
+
+    Deterministic per seed (matches the real-MD data class of
+    ``/root/reference/dataset.py:110-127``: thermostatted, stochastic,
+    anharmonic — unlike the modes family). ``burn_in`` steps equilibrate
+    before recording. Frames are single integrator steps.
+    """
+    rng = np.random.default_rng(seed)
+    base, _, _, _, aa = _chain_params(num_residues, seed)
+    base = base.astype(np.float64)
+
+    # Elastic network from the base fold's own contact topology.
+    d2 = np.sum((base[:, None] - base[None, :]) ** 2, axis=-1)
+    iu, ju = np.triu_indices(num_residues, k=1)
+    in_net = d2[iu, ju] < network_cutoff ** 2
+    is_bb = (ju - iu) == 1
+    keep = in_net | is_bb
+    ei, ej = iu[keep], ju[keep]
+    bb = is_bb[keep]
+    r0 = np.sqrt(d2[ei, ej])
+
+    inv_w4 = 1.0 / well_width ** 4
+
+    def forces(x):
+        dvec = x[ei] - x[ej]                     # (M, 3)
+        r = np.linalg.norm(dvec, axis=1)
+        u = r - r0
+        # dV/dr: stiff harmonic on the backbone, double-well elsewhere
+        dv = np.where(
+            bb, k_backbone * u,
+            4.0 * eps_well * u * (u * u - well_width ** 2) * inv_w4,
+        )
+        fpair = (dv / np.maximum(r, 1e-9))[:, None] * dvec  # on j, -on i
+        f = np.zeros_like(x)
+        np.add.at(f, ei, -fpair)
+        np.add.at(f, ej, fpair)
+        return f - k_center * (x - base)
+
+    # Start in a well-displaced state with thermal velocities.
+    x = base + rng.normal(scale=0.5 * well_width, size=base.shape)
+    v = rng.normal(scale=np.sqrt(kT), size=base.shape)
+
+    # BAOAB splitting (mass 1): exact O-step for the friction/noise pair.
+    c1 = np.exp(-friction * dt)
+    c2 = np.sqrt(kT * (1.0 - c1 * c1))
+    half = 0.5 * dt
+
+    positions = np.empty((num_frames, num_residues, 3), np.float32)
+    f = forces(x)
+    for step in range(burn_in + num_frames):
+        v = v + half * f
+        x = x + half * v
+        v = c1 * v + c2 * rng.normal(size=v.shape)
+        x = x + half * v
+        f = forces(x)
+        v = v + half * f
+        if step >= burn_in:
+            positions[step - burn_in] = x.astype(np.float32)
+
+    flat, _ = _contact_edges(positions, threshold)
+    edge_indices = [e.reshape(2, -1) for e in flat]
+    rmsd = (
+        np.linalg.norm(positions - positions[0], axis=(1, 2))
+        / np.sqrt(num_residues)
+    ).astype(np.float32)
+    return TrajectoryData(
+        positions=positions,
+        edge_indices=edge_indices,
+        aminoacids=aa,
+        rmsd=rmsd,
+    )
+
+
 def write_synthetic_h5(
     path,
     num_frames: int = 256,
@@ -138,6 +256,14 @@ def write_synthetic_h5(
 
     traj = synthetic_trajectory(num_frames, num_residues, threshold, seed,
                                 dt=dt)
+    write_trajectory_h5(path, traj)
+    return traj
+
+
+def write_trajectory_h5(path, traj: TrajectoryData) -> None:
+    """Write any in-memory TrajectoryData in the reference's HDF5 schema."""
+    import h5py
+
     path = Path(path)
     with h5py.File(path, "w") as f:
         # Ragged COO stored flattened per frame ([rows...; cols...]), the
@@ -151,6 +277,12 @@ def write_synthetic_h5(
         )
         f.create_dataset("amino_acids", data=traj.aminoacids)
         f.create_dataset("rmsd", data=traj.rmsd)
+
+
+def write_langevin_h5(path, **kwargs) -> TrajectoryData:
+    """Write a ``langevin_trajectory`` in the reference's HDF5 schema."""
+    traj = langevin_trajectory(**kwargs)
+    write_trajectory_h5(path, traj)
     return traj
 
 

@@ -59,6 +59,16 @@ def fno_init(key, cfg: FNOConfig):
             f"({cfg.num_residues} rows x {half} rfft columns); shrink "
             "modes1/modes2 for this num_residues"
         )
+    if (getattr(cfg, "predict_delta", False)
+            and getattr(cfg, "predict_prior", "last") == "extrapolate"
+            and cfg.in_channels < 2):
+        # mirror residual_prior's window_size guard (models/gkn.py): with
+        # one input channel the x[..., -2:-1] slice below would be empty
+        # and fail as an obscure broadcast error deep in the forward.
+        raise ValueError(
+            "predict_prior='extrapolate' needs in_channels >= 2 (two "
+            f"distance-matrix frames), got in_channels={cfg.in_channels}"
+        )
     keys = jax.random.split(key, cfg.depth * 2 + 3)
     params = {
         "lift": linear_init(keys[0], cfg.in_channels, cfg.width),
@@ -72,6 +82,13 @@ def fno_init(key, cfg: FNOConfig):
         params[f"pointwise_{d}"] = linear_init(
             keys[4 + 2 * d], cfg.width, cfg.width
         )
+    hi = getattr(cfg, "head_init", "default")
+    if hi == "zero":
+        # GNS-style residual-head init (ModelConfig.head_init semantics):
+        # the step-0 forecast is exactly the prior.
+        params["proj2"] = jax.tree.map(jnp.zeros_like, params["proj2"])
+    elif hi != "default":
+        raise ValueError(f"unknown head_init: {hi!r}")
     return params
 
 
@@ -189,9 +206,16 @@ def fno_apply(params, cfg: FNOConfig, x: Array, return_latent: bool = False):
         if prior == "last":
             out = out + x[..., -1:]
         elif prior == "extrapolate":
-            # constant-velocity prior on distance matrices
-            # (residual_prior semantics, models/gkn.py)
-            out = out + 2.0 * x[..., -1:] - x[..., -2:-1]
+            if x.shape[-1] < 2:
+                raise ValueError(
+                    "predict_prior='extrapolate' needs >= 2 input "
+                    f"channels, got x with {x.shape[-1]}"
+                )
+            # damped constant-velocity prior on distance matrices
+            # (residual_prior semantics, models/gkn.py): gamma = 1 is pure
+            # extrapolation, gamma = 0 copy-last.
+            gamma = getattr(cfg, "prior_damping", 1.0)
+            out = out + x[..., -1:] + gamma * (x[..., -1:] - x[..., -2:-1])
         else:
             raise ValueError(f"unknown predict_prior: {prior!r}")
     if return_latent:

@@ -123,6 +123,25 @@ def gkn_init(key, cfg: ModelConfig):
         params["edge_kernel2"] = mlp_init(
             k2, [cfg.edge_features, cfg.ker_width, cfg.ker_width, w * w]
         )
+    if getattr(cfg, "head_init", "default") == "zero":
+        # GNS-style residual-head init: the step-0 forecast IS the prior
+        # (see configs.ModelConfig.head_init for the measured motivation).
+        params["fc2"] = jax.tree.map(jnp.zeros_like, params["fc2"])
+    elif getattr(cfg, "head_init", "default") != "default":
+        raise ValueError(f"unknown head_init: {cfg.head_init!r}")
+    scale = getattr(cfg, "kernel_init_scale", 1.0)
+    if scale != 1.0:
+        # Scale the edge-kernel MLP's final layer so the per-edge kernel
+        # matrices start ~scale x smaller — the conv stack's init-forward
+        # magnitude compounds through 2*depth layers and overflows f32 at
+        # depth 6 / 10k atoms with the torch-default init.
+        for name in ("edge_kernel", "edge_kernel2"):
+            if name in params:
+                last = f"layer_{len(params[name]) - 1}"
+                layer = params[name][last]
+                params[name][last] = {
+                    "w": layer["w"] * scale, "b": layer["b"] * scale,
+                }
     return params
 
 
@@ -174,13 +193,16 @@ def residual_prior(cfg: ModelConfig, window: Array) -> Array:
 
     "last" reproduces copy-last (out = head + x_t, the round-1 residual
     head); "extrapolate" is the GNS-style constant-velocity prior
-    (out = head + 2 x_t - x_{t-1}): a zero head output equals linear
-    extrapolation instead of a frozen frame, so optimization starts from
-    the stronger baseline and the head learns the acceleration-scale
-    correction. (Motivated by the measured 10k-atom zero-delta attractor:
-    training with the copy-last prior parks AT copy-last even when the
-    next delta is linearly representable from the window —
-    docs/PERFORMANCE.md, tools/config5_results_rough.json.)"""
+    (out = head + x_t + gamma (x_t - x_{t-1}), gamma =
+    ``cfg.prior_damping``, 1.0 = pure extrapolation): a zero head output
+    equals linear extrapolation instead of a frozen frame, so
+    optimization starts from the stronger baseline and the head learns
+    the acceleration-scale correction. (Motivated by the measured
+    10k-atom zero-delta attractor: training with the copy-last prior
+    parks AT copy-last even when the next delta is linearly
+    representable from the window — docs/PERFORMANCE.md,
+    tools/config5_results_rough.json.) gamma < 1 contracts the implied
+    velocity toward copy-last each step, bounding long-horizon drift."""
     last = window[..., -1, :, :]
     if cfg.predict_prior == "last":
         return last
@@ -190,7 +212,8 @@ def residual_prior(cfg: ModelConfig, window: Array) -> Array:
                 "predict_prior='extrapolate' needs a window of >= 2 "
                 f"frames, got window_size={window.shape[-3]}"
             )
-        return 2.0 * last - window[..., -2, :, :]
+        gamma = getattr(cfg, "prior_damping", 1.0)
+        return last + gamma * (last - window[..., -2, :, :])
     raise ValueError(f"unknown predict_prior: {cfg.predict_prior!r}")
 
 

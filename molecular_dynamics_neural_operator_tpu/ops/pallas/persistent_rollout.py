@@ -118,6 +118,7 @@ def _kernel(
     clip: float,
     predict_delta: bool,
     extrapolate_prior: bool,
+    prior_gamma: float,
     compute_dtype: str,
     use_repeat: bool = False,
     use_dh: bool = False,
@@ -319,9 +320,10 @@ def _kernel(
         if predict_delta:
             out = out + pos
             if extrapolate_prior:
-                # constant-velocity prior (residual_prior, models/gkn.py):
-                # read the previous frame BEFORE the slide below.
-                out = out + (pos - window_ref[s, t_len - 2])
+                # (damped) constant-velocity prior (residual_prior,
+                # models/gkn.py): read the previous frame BEFORE the
+                # slide below.
+                out = out + prior_gamma * (pos - window_ref[s, t_len - 2])
         if clip > 0:
             out = jnp.clip(out, -clip, clip)
         # where, not arithmetic mixing: 0 * inf from a saturated pad row
@@ -499,6 +501,7 @@ def persistent_rollout(
         predict_delta=cfg.predict_delta,
         extrapolate_prior=(
             getattr(cfg, "predict_prior", "last") == "extrapolate"),
+        prior_gamma=float(getattr(cfg, "prior_damping", 1.0)),
         compute_dtype=cd_str,
         use_repeat=use_rep_eff, use_dh=use_dh,
         dh_kappa=float(dh_kappa), dh_lb=float(dh_lb),

@@ -51,9 +51,12 @@ def make_optimizer(
     ``apply_if_finite``: the finiteness guard stays OUTERMOST so a
     non-finite micro-batch is dropped before it can poison the
     accumulation window."""
+    # ceil division: with floor, steps_per_epoch < grad_accum collapses the
+    # boundary to one optimizer apply (decay EVERY apply) and a non-divisible
+    # epoch drifts the schedule early each epoch.
     schedule = step_lr_schedule(
         lr, scheduler_step, scheduler_gamma,
-        max(1, steps_per_epoch // max(1, grad_accum)))
+        -(-steps_per_epoch // max(1, grad_accum)))
     parts = []
     if grad_clip_norm and grad_clip_norm > 0:
         parts.append(optax.clip_by_global_norm(grad_clip_norm))

@@ -369,3 +369,71 @@ def test_blocked_layout_recomputed_maps(tiny_traj):
                           use_stored_contact_maps=False)
     with pytest.raises(ValueError, match="in-degree"):
         tight.get_batch([0])
+
+
+def test_langevin_trajectory_regime():
+    """The anharmonic Langevin family is the benchmark where learning is
+    REQUIRED (VERDICT r4 item 1): both trivial forecasters must degrade
+    visibly within the gate horizons, in opposite ways — copy-last pays
+    the per-step drift immediately, constant-velocity extrapolation
+    diverges at long horizon — while the per-frame force correction
+    (second difference) stays far above the thermal noise floor, so a
+    model that learns the force field has real headroom below both."""
+    from molecular_dynamics_neural_operator_tpu.data import (
+        langevin_trajectory,
+    )
+
+    traj = langevin_trajectory(num_frames=1500, seed=11)
+    p = traj.positions.astype(np.float64)
+    assert p.shape == (1500, 28, 3)
+    assert np.isfinite(p).all()
+    # realistic contact density (BBA measures ~180-210 edges at 8 A)
+    counts = [e.shape[1] for e in traj.edge_indices[:100]]
+    assert 120 <= np.mean(counts) <= 300
+
+    s = 1000
+    horizon = 200
+    last, prev = p[s], p[s - 1]
+    truth = p[s + 1 : s + 1 + horizon]
+    cl = ((truth - last) ** 2).mean(axis=(1, 2))
+    k = np.arange(1, horizon + 1)[:, None, None]
+    ex = ((truth - (last + k * (last - prev))) ** 2).mean(axis=(1, 2))
+    # extrapolation beats copy-last at step 1 (velocity is real) ...
+    assert ex[0] < cl[0]
+    # ... both degrade hard by step 10 (>= 20x their step-1 error) ...
+    assert cl[9] > 20 * cl[0] and ex[9] > 20 * ex[0]
+    # ... and extrapolation DIVERGES past copy-last by step 100
+    assert ex[99] > 2 * cl[99]
+    # headroom: the predictable per-frame force correction dominates the
+    # stochastic kick by >= 5x rms (kick std = 0.5*dt*sqrt(kT(1-c1^2)))
+    acc = p[2:] - 2 * p[1:-1] + p[:-2]
+    dt, fr, kT = 0.05, 0.02, 0.5
+    c1 = np.exp(-fr * dt)
+    kick = 0.5 * dt * np.sqrt(kT * (1 - c1 * c1))
+    assert np.sqrt((acc ** 2).mean()) > 5 * kick
+
+
+def test_langevin_trajectory_deterministic_and_distinct_seeds():
+    from molecular_dynamics_neural_operator_tpu.data import (
+        langevin_trajectory,
+    )
+
+    a = langevin_trajectory(num_frames=32, seed=3, burn_in=50)
+    b = langevin_trajectory(num_frames=32, seed=3, burn_in=50)
+    np.testing.assert_array_equal(a.positions, b.positions)
+    c = langevin_trajectory(num_frames=32, seed=4, burn_in=50)
+    assert not np.allclose(a.positions, c.positions)
+
+
+def test_write_langevin_h5_roundtrip(tmp_path):
+    from molecular_dynamics_neural_operator_tpu.data import (
+        load_trajectory,
+        write_langevin_h5,
+    )
+
+    path = tmp_path / "lg.h5"
+    traj = write_langevin_h5(path, num_frames=24, seed=5, burn_in=50)
+    loaded = load_trajectory(path)
+    np.testing.assert_array_equal(loaded.positions, traj.positions)
+    np.testing.assert_array_equal(loaded.aminoacids, traj.aminoacids)
+    np.testing.assert_array_equal(loaded.edge_index(7), traj.edge_index(7))

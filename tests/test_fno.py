@@ -281,3 +281,39 @@ def test_fno_predict_prior_extrapolate_algebra():
     np.testing.assert_allclose(np.asarray(out_ex),
                                np.asarray(out_last + vel),
                                rtol=1e-5, atol=1e-6)
+    # damped prior: g contracts the implied velocity
+    cfg_damp = dataclasses.replace(cfg_ex, prior_damping=0.5)
+    out_damp = fno_apply(params, cfg_damp, x)
+    np.testing.assert_allclose(np.asarray(out_damp),
+                               np.asarray(out_ex - 0.5 * vel),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fno_head_init_zero_and_extrapolate_guard():
+    import dataclasses
+
+    import jax
+    import numpy as np
+    import pytest
+
+    from molecular_dynamics_neural_operator_tpu.configs import FNOConfig
+    from molecular_dynamics_neural_operator_tpu.models.fno import (
+        fno_apply,
+        fno_init,
+    )
+
+    cfg = FNOConfig(width=8, modes1=4, modes2=4, depth=2, in_channels=4,
+                    num_residues=12, predict_delta=True,
+                    predict_prior="extrapolate", head_init="zero")
+    params = fno_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 12, 12, 4))
+    out = fno_apply(params, cfg, x)
+    # fno_apply's exact float association: D_t + g (D_t - D_{t-1})
+    prior = x[..., -1:] + 1.0 * (x[..., -1:] - x[..., -2:-1])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(prior),
+                               rtol=0, atol=0)
+    # in_channels=1 cannot form the velocity: clear error at init, not an
+    # obscure broadcast failure deep in the forward
+    bad = dataclasses.replace(cfg, in_channels=1)
+    with pytest.raises(ValueError, match="in_channels"):
+        fno_init(jax.random.PRNGKey(0), bad)

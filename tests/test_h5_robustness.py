@@ -63,8 +63,10 @@ def test_detect_layout_rules():
     assert detect_pointcloud_layout((5, 3, 28)) == "n3r"
     with pytest.warns(SchemaWarning):
         assert detect_pointcloud_layout((5, 28, 3)) == "nr3"
-    # genuinely ambiguous 3-residue system: reference layout assumed
-    assert detect_pointcloud_layout((5, 3, 3)) == "n3r"
+    # genuinely ambiguous 3-residue system: reference layout assumed,
+    # loudly (shape and residue-count hint are both 3 — undecidable)
+    with pytest.warns(SchemaWarning, match="ambiguous"):
+        assert detect_pointcloud_layout((5, 3, 3)) == "n3r"
     # no coordinate axis, but a residue-count hint disambiguates
     assert detect_pointcloud_layout((5, 28, 7), num_residues_hint=28) == "nr3"
     assert detect_pointcloud_layout((5, 7, 28), num_residues_hint=28) == "n3r"
@@ -98,6 +100,8 @@ def test_zero_based_labels_untouched(tmp_path):
     np.testing.assert_array_equal(loaded.aminoacids, labels)
 
 
+
+
 def test_onehot_label_matrix_recovered(tmp_path):
     path = tmp_path / "t.h5"
     labels = np.array([0, 5, 19, 3, 3, 7, 1, 2, 4, 6])
@@ -128,9 +132,13 @@ def test_out_of_range_labels_rejected():
 def test_ambiguous_one_based_subset_is_accepted_as_zero_based():
     """Labels spanning [1, 19] are valid under BOTH conventions; the
     loader keeps them untouched (documented in docs/DATA_COMPAT.md) —
-    only an unambiguous max==20 triggers the shift."""
+    only an unambiguous max==20 triggers the shift — but WARNS: a
+    1-based file lacking residue type 20 would otherwise be silently
+    off by one in every embedding lookup."""
     labels = np.array([1, 5, 19])
-    np.testing.assert_array_equal(normalize_amino_labels(labels), labels)
+    with pytest.warns(SchemaWarning, match="both"):
+        out = normalize_amino_labels(labels)
+    np.testing.assert_array_equal(out, labels)
 
 
 # --- optional / dtype drift ------------------------------------------------

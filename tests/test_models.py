@@ -245,6 +245,68 @@ def test_predict_prior_extrapolate_algebra(tiny_model_cfg):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_head_init_zero_forward_equals_prior(tiny_model_cfg):
+    """head_init='zero': the untrained forecast IS the prior exactly —
+    the residual head can never start worse than its baseline (GNS
+    practice; round-4 standard-init heads measured 8-177x worse than
+    bare extrapolation)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_model_cfg, predict_delta=True,
+                              predict_prior="extrapolate",
+                              head_init="zero")
+    params = gkn_init(jax.random.PRNGKey(0), cfg)
+    batch = _dense_batch(cfg)
+    out = gkn_apply(params, cfg, batch)
+    last = batch.window[:, -1]
+    prior = last + 1.0 * (last - batch.window[:, -2])  # residual_prior's
+    # exact float association (a + g(a-b), not 2a-b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(prior),
+                               rtol=0, atol=0)
+
+
+def test_prior_damping_algebra(tiny_model_cfg):
+    """prior_damping=g: out = head + x_t + g (x_t - x_{t-1}); g=0 is
+    copy-last, g=1 pure extrapolation."""
+    import dataclasses
+
+    base = dataclasses.replace(tiny_model_cfg, predict_delta=True,
+                               predict_prior="extrapolate")
+    params = gkn_init(jax.random.PRNGKey(0), base)
+    batch = _dense_batch(base)
+    vel = batch.window[:, -1] - batch.window[:, -2]
+    out_full = gkn_apply(params, base, batch)
+    cfg_half = dataclasses.replace(base, prior_damping=0.5)
+    out_half = gkn_apply(params, cfg_half, batch)
+    np.testing.assert_allclose(np.asarray(out_half),
+                               np.asarray(out_full - 0.5 * vel),
+                               rtol=1e-5, atol=1e-6)
+    cfg_zero = dataclasses.replace(base, prior_damping=0.0)
+    cfg_last = dataclasses.replace(base, predict_prior="last")
+    np.testing.assert_allclose(
+        np.asarray(gkn_apply(params, cfg_zero, batch)),
+        np.asarray(gkn_apply(params, cfg_last, batch)),
+        rtol=0, atol=0)
+
+
+def test_kernel_init_scale_scales_final_layer(tiny_model_cfg):
+    """kernel_init_scale multiplies ONLY the edge-kernel MLP's last layer
+    (both convs' kernels shrink proportionally at init)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_model_cfg, kernel_init_scale=0.25)
+    p_scaled = gkn_init(jax.random.PRNGKey(0), cfg)
+    p_plain = gkn_init(jax.random.PRNGKey(0), tiny_model_cfg)
+    last = f"layer_{len(p_plain['edge_kernel']) - 1}"
+    np.testing.assert_allclose(
+        np.asarray(p_scaled["edge_kernel"][last]["w"]),
+        0.25 * np.asarray(p_plain["edge_kernel"][last]["w"]), rtol=1e-7)
+    # earlier layers untouched
+    np.testing.assert_array_equal(
+        np.asarray(p_scaled["edge_kernel"]["layer_0"]["w"]),
+        np.asarray(p_plain["edge_kernel"]["layer_0"]["w"]))
+
+
 def test_predict_prior_validation(tiny_model_cfg):
     import dataclasses
 

@@ -106,3 +106,24 @@ def test_grad_accum_steplr_boundary_counts_optimizer_applies():
     plain = step_lr_schedule(lr, 2, gamma, 8)
     assert float(plain(15)) == pytest.approx(lr)
     assert float(plain(16)) == pytest.approx(lr * gamma)
+
+
+def test_grad_accum_steplr_boundary_ceil_division():
+    """steps_per_epoch < grad_accum must NOT collapse the boundary to one
+    apply (floor division gave 0 applies/epoch -> decay every step);
+    non-divisible epochs round UP so the schedule never decays early."""
+    lr, gamma = 1e-2, 0.5
+    # 10 micro-steps/epoch at accum 16 -> ceil = 1 apply/epoch;
+    # StepLR(50 epochs) -> boundary at apply 50, NOT 1.
+    _, sched = make_optimizer(lr=lr, weight_decay=0.0, scheduler_step=50,
+                              scheduler_gamma=gamma, steps_per_epoch=10,
+                              grad_accum=16)
+    assert float(sched(49)) == pytest.approx(lr)
+    assert float(sched(50)) == pytest.approx(lr * gamma)
+    # 10 micro-steps at accum 3 -> ceil = 4 applies/epoch, boundary at
+    # 2 * 4 = 8 applies (floor would put it at 6)
+    _, sched2 = make_optimizer(lr=lr, weight_decay=0.0, scheduler_step=2,
+                               scheduler_gamma=gamma, steps_per_epoch=10,
+                               grad_accum=3)
+    assert float(sched2(7)) == pytest.approx(lr)
+    assert float(sched2(8)) == pytest.approx(lr * gamma)

@@ -53,6 +53,28 @@ def test_persistent_matches_scan(r, predict_delta, prior):
     assert bool(diags["edge_overflow"]) == bool(ref_diags["edge_overflow"])
 
 
+def test_persistent_matches_scan_with_damped_prior():
+    """prior_damping < 1 inside the kernel (the in-kernel prev-frame read
+    scaled by gamma) must track the XLA scan exactly."""
+    cfg = _cfg(predict_prior="extrapolate", prior_damping=0.5)
+    params = gkn_init(jax.random.PRNGKey(3), cfg)
+    traj = synthetic_trajectory(num_frames=6, num_residues=12, seed=7)
+    aa = jnp.asarray(traj.aminoacids)
+    w0 = jnp.asarray(traj.positions[:4])
+    steps = 5
+    ref, _, _ = jax.jit(
+        lambda p, a, w: rollout_scan(p, cfg, a, w, steps)
+    )(params, aa, w0)
+    got, _ = persistent_rollout(params, cfg, aa, w0, steps, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    # and the damping actually changes the trajectory vs gamma = 1
+    cfg1 = _cfg(predict_prior="extrapolate", prior_damping=1.0)
+    undamped, _ = persistent_rollout(params, cfg1, aa, w0, steps,
+                                     interpret=True)
+    assert not np.allclose(np.asarray(got), np.asarray(undamped))
+
+
 def test_persistent_matches_scan_with_electrostatics():
     """electrostatics="dh" inside the kernel: the screened-Coulomb node
     feature recomputes from the flat pair distances and must match the

@@ -28,7 +28,7 @@ import numpy as np
 
 from molecular_dynamics_neural_operator_tpu.configs import ModelConfig, TrainConfig
 from molecular_dynamics_neural_operator_tpu.data import (
-    WindowDataset, synthetic_trajectory)
+    WindowDataset, langevin_trajectory, synthetic_trajectory)
 from molecular_dynamics_neural_operator_tpu.geometry import contact_map
 from molecular_dynamics_neural_operator_tpu.train import train_valid_split
 from molecular_dynamics_neural_operator_tpu.train.recipe import (
@@ -75,6 +75,20 @@ def main():
                    default="last",
                    help="residual-head base forecast (models/gkn.py "
                         "residual_prior)")
+    p.add_argument("--prior_damping", type=float, default=1.0,
+                   help="damping on the extrapolate prior's implied "
+                        "velocity (1.0 = pure constant-velocity)")
+    p.add_argument("--head_init", choices=["default", "zero"],
+                   default="default",
+                   help="'zero' zero-initializes the fc2 head so the "
+                        "step-0 forecast is exactly the prior")
+    p.add_argument("--generator", choices=["modes", "langevin"],
+                   default="modes",
+                   help="synthetic family: 'modes' = noiseless 3-sinusoid "
+                        "breathing (linear forecasters are near-optimal on "
+                        "it); 'langevin' = anharmonic double-well network "
+                        "under Langevin dynamics — the benchmark where "
+                        "learning is required (data/synthetic.py)")
     p.add_argument("--window_diff", action="store_true",
                    help="encode the window as [last frame ; scaled frame "
                         "diffs] so the LSTM sees velocities directly")
@@ -92,10 +106,14 @@ def main():
             enable_compilation_cache)
         enable_compilation_cache(args.compilation_cache)
 
-    traj = synthetic_trajectory(num_frames=args.frames, num_residues=28, seed=11)
+    gen = (langevin_trajectory if args.generator == "langevin"
+           else synthetic_trajectory)
+    traj = gen(num_frames=args.frames, num_residues=28, seed=11)
     cfg = ModelConfig(compute_dtype=args.dtype, graph_mode="sparse",
                       max_edges=args.max_edges, predict_delta=True,
                       predict_prior=args.predict_prior,
+                      prior_damping=args.prior_damping,
+                      head_init=args.head_init,
                       train_conv_impl=args.train_conv_impl,
                       window_diff=args.window_diff,
                       window_diff_scale=args.window_diff_scale)
