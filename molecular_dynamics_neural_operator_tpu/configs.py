@@ -42,6 +42,12 @@ class ModelConfig:
     # True (reference parity): conv1 and conv2 share ONE edge-kernel MLP
     # (graph_kernel.py:271-273 passes the same DenseNet to both convs).
     tie_edge_kernel: bool = True
+    # The OLDER reference KernelNN variant the analysis notebook loads
+    # (bba_analysis.ipynb cell 8: Embedding + fc1 + a single weight-tied
+    # NNConv_old stack + fc2, no LSTM — window_size=1 semantics, node
+    # features = [emb ; last-frame coordinates]). Lets a scientist's old
+    # best.pt run here (utils/torch_import.import_legacy_checkpoint).
+    legacy_no_lstm: bool = False
     # bf16 matmuls with f32 accumulation on the MXU; params stay f32.
     compute_dtype: str = "bfloat16"
     # "pallas" fuses the weight-tied conv stack into one TPU kernel;

@@ -118,6 +118,11 @@ def gkn_init(key, cfg: ModelConfig):
         "conv2": edge_conv_init(keys[6], w),
         "fc2": linear_init(keys[7], w, cfg.out_width),
     }
+    if cfg.legacy_no_lstm:
+        # older reference variant (bba_analysis.ipynb cell 8): no window
+        # encoder, one conv stack
+        for name in ("lstm", "lstm_fc", "conv2"):
+            del params[name]
     if not cfg.tie_edge_kernel:
         k2 = jax.random.fold_in(keys[4], 1)
         params["edge_kernel2"] = mlp_init(
@@ -157,7 +162,12 @@ def _node_in_features(cfg: ModelConfig) -> int:
 
 def _encode_nodes(params, cfg: ModelConfig, aa: Array, window: Array) -> Array:
     """window (T, R, 3) + aa (R,) -> node features (R, width) after fc1+ReLU."""
-    if cfg.window_diff:
+    if cfg.legacy_no_lstm:
+        # legacy variant: node features = [emb ; last-frame coordinates]
+        # (the notebook model runs window_size=1, item shape
+        # x_position=[28, 3], bba_analysis.ipynb cell 32)
+        h = window[-1]
+    elif cfg.window_diff:
         # Velocity-form encoding: [last frame ; scaled successive diffs],
         # same (T, R, 3) shape (T-1 diffs + the anchor frame), so the LSTM
         # parameters are unchanged. Raw frames differ by ~1e-4 relative on
@@ -168,8 +178,9 @@ def _encode_nodes(params, cfg: ModelConfig, aa: Array, window: Array) -> Array:
         enc_in = jnp.concatenate([window[-1:], diffs], axis=0)
     else:
         enc_in = window
-    h = lstm_apply(params["lstm"], enc_in)  # (R, 3)
-    h = linear_apply(params["lstm_fc"], h)
+    if not cfg.legacy_no_lstm:
+        h = lstm_apply(params["lstm"], enc_in)  # (R, 3)
+        h = linear_apply(params["lstm_fc"], h)
     emb = params["emb"][aa]  # (R, embedding_dim)
     feats = [emb, h]
     if cfg.electrostatics == "dh":
@@ -235,6 +246,11 @@ def gkn_apply_single(
     node n, geometry/cells.py) — the rollout scan does this for its own
     rebuilds, turning the large-system scatter into a dense reduction."""
     cd = _compute_dtype(cfg)
+    if cfg.legacy_no_lstm and cfg.conv_impl == "pallas":
+        raise ValueError(
+            "legacy_no_lstm (single conv stack) supports conv_impl='xla' "
+            "only — the fused Pallas kernel bakes in both stacks"
+        )
     x = _encode_nodes(params, cfg, aa, window)
     w = cfg.width
 
@@ -268,10 +284,12 @@ def gkn_apply_single(
             x = jax.nn.relu(
                 edge_conv_dense(params["conv1"], x, masked, inv_deg, cd)
             )
-        for _ in range(cfg.depth):
-            x = jax.nn.relu(
-                edge_conv_dense(params["conv2"], x, masked2, inv_deg, cd)
-            )
+        if not cfg.legacy_no_lstm:
+            for _ in range(cfg.depth):
+                x = jax.nn.relu(
+                    edge_conv_dense(params["conv2"], x, masked2, inv_deg,
+                                    cd)
+                )
     elif cfg.conv_impl == "pallas":
         # Fused TPU kernel: edge-kernel MLP + both conv stacks in one
         # pallas_call with weights and the kernel tensor VMEM-resident
@@ -327,7 +345,8 @@ def gkn_apply_single(
                 msg_mask2 = graph.mask * kscale2
         if (cfg.fused_conv_vjp and cfg.tie_edge_kernel
                 and scatter == "onehot" and cfg.depth > 0
-                and cfg.kernel_quant == "none"):
+                and cfg.kernel_quant == "none"
+                and not cfg.legacy_no_lstm):
             # Hand-written VJP over the whole tied stack: one-pass
             # kernel-tensor gradient (ops/conv_stack.py).
             from molecular_dynamics_neural_operator_tpu.ops.conv_stack import (
@@ -350,13 +369,14 @@ def gkn_apply_single(
                         inv_deg, scatter, cd,
                     )
                 )
-            for _ in range(cfg.depth):
-                x = jax.nn.relu(
-                    edge_conv_sparse(
-                        params["conv2"], x, kernels2, graph.edges,
-                        msg_mask2, inv_deg, scatter, cd,
+            if not cfg.legacy_no_lstm:
+                for _ in range(cfg.depth):
+                    x = jax.nn.relu(
+                        edge_conv_sparse(
+                            params["conv2"], x, kernels2, graph.edges,
+                            msg_mask2, inv_deg, scatter, cd,
+                        )
                     )
-                )
 
     latent = x
     out = linear_apply(params["fc2"], x)
@@ -395,6 +415,7 @@ def gkn_apply(
             and isinstance(batch.graph, SparseGraph)
             and cfg.tie_edge_kernel and cfg.depth > 0
             and cfg.kernel_quant == "none"
+            and not cfg.legacy_no_lstm
             # same node-count bound as the one-hot scatter path: the
             # kernel builds (B, E, R) incidence tensors and per-example
             # VMEM blocks — large systems stay on the segment/XLA path

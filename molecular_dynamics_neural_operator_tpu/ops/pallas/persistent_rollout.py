@@ -377,6 +377,9 @@ def persistent_rollout(
     """
     if not cfg.tie_edge_kernel:
         raise ValueError("persistent rollout requires tie_edge_kernel=True")
+    if getattr(cfg, "legacy_no_lstm", False):
+        raise ValueError("persistent rollout does not implement the "
+                         "legacy no-LSTM variant — use impl='scan'")
     if getattr(cfg, "window_diff", False):
         # The in-kernel LSTM consumes raw window frames; silently ignoring
         # the velocity-form encoding would break parity with rollout_scan.

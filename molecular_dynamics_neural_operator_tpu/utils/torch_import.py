@@ -77,13 +77,61 @@ def import_reference_state_dict(sd: dict, cfg) -> dict:
     return params
 
 
+def is_legacy_state_dict(sd: dict) -> bool:
+    """True for the OLDER reference KernelNN layout the analysis notebook
+    loads (``bba_analysis.ipynb`` cell 8: ``Embedding + fc1 + a single
+    NNConv_old + fc2`` — no LSTM, no second conv stack)."""
+    keys = {k[len("module."):] if k.startswith("module.") else k
+            for k in sd}
+    return "conv1.root" in keys and "lstm.weight_ih_l0" not in keys
+
+
+def import_legacy_state_dict(sd: dict, cfg) -> dict:
+    """Convert an old no-LSTM KernelNN state_dict to GKN params for a
+    ``ModelConfig(legacy_no_lstm=True)`` model: ``emb`` / ``fc1`` /
+    ``fc2`` / ``conv1`` (+ its DenseNet) map as in
+    ``import_reference_state_dict``; there is no lstm/lstm_fc/conv2."""
+    if not getattr(cfg, "legacy_no_lstm", False):
+        raise ValueError(
+            "this checkpoint is the older no-LSTM KernelNN variant "
+            "(bba_analysis.ipynb cell 8); build the model with "
+            "ModelConfig(legacy_no_lstm=True, window_size=1)"
+        )
+    sd = _strip_prefixes(sd)
+
+    def lin(prefix):
+        return {
+            "w": sd[f"{prefix}.weight"].T.copy(),
+            "b": sd[f"{prefix}.bias"].copy(),
+        }
+
+    return {
+        "emb": sd["emb.weight"].copy(),
+        "fc1": lin("fc1"),
+        "fc2": lin("fc2"),
+        "conv1": {"root": sd["conv1.root"].copy(),
+                  "bias": sd["conv1.bias"].copy()},
+        "edge_kernel": {
+            f"layer_{i}": {
+                "w": sd[f"conv1.net.layers.{j}.weight"].T.copy(),
+                "b": sd[f"conv1.net.layers.{j}.bias"].copy(),
+            }
+            for i, j in enumerate((0, 2, 4))
+        },
+    }
+
+
 def import_reference_checkpoint(path, cfg) -> dict:
     """Load a reference ``best.pt`` (torch.save of {model_state_dict, ...}
-    or a bare state_dict) and convert."""
+    or a bare state_dict) and convert. Detects the older no-LSTM layout
+    (the one ``bba_analysis.ipynb`` cells 6-8 load) and routes it to
+    ``import_legacy_state_dict``."""
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, dict) and "model_state_dict" in obj:
         obj = obj["model_state_dict"]
     sd = {k: v.detach().numpy() for k, v in obj.items()}
+    if is_legacy_state_dict(sd):
+        return import_legacy_state_dict(sd, cfg)
     return import_reference_state_dict(sd, cfg)

@@ -82,6 +82,103 @@ def test_forward_parity_with_reference_architecture():
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
 
 
+def test_legacy_no_lstm_checkpoint_parity():
+    """The OLDER reference KernelNN (bba_analysis.ipynb cell 8 — no LSTM,
+    single conv stack, window_size=1): a scientist's old best.pt imports
+    via import_legacy_state_dict and forwards identically through
+    ModelConfig(legacy_no_lstm=True)."""
+    from molecular_dynamics_neural_operator_tpu.utils.torch_import import (
+        import_legacy_state_dict,
+        is_legacy_state_dict,
+    )
+    from tools.torch_replica import TorchLegacyKernelNN
+
+    torch.manual_seed(1)
+    width, ker_width, depth, r = 16, 32, 3, 10
+    model = TorchLegacyKernelNN(width, ker_width, depth).eval()
+
+    rng = np.random.default_rng(1)
+    frame = rng.normal(size=(r, 3)).astype(np.float32) * 4
+    aa = (rng.integers(0, 20, r)).astype(np.int64)
+    adj = np.asarray(contact_map(jnp.asarray(frame), 8.0))
+    src, dst = np.nonzero(adj)
+    edge_index = np.stack([src, dst])
+    edge_attr = np.concatenate(
+        [frame[src], frame[dst]], axis=1).astype(np.float32)
+    with torch.no_grad():
+        ref = model(
+            torch.tensor(frame), torch.tensor(aa),
+            torch.tensor(edge_index), torch.tensor(edge_attr),
+        ).numpy()
+
+    cfg = ModelConfig(width=width, ker_width=ker_width, depth=depth,
+                      window_size=1, num_residues=r,
+                      compute_dtype="float32", legacy_no_lstm=True)
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    assert is_legacy_state_dict(sd)
+    params = jax.tree_util.tree_map(
+        jnp.asarray, import_legacy_state_dict(sd, cfg))
+    assert set(params) == {"emb", "fc1", "fc2", "conv1", "edge_kernel"}
+    graph = DenseGraph(
+        adj=jnp.asarray(adj),
+        edge_feats=dense_edge_features(jnp.asarray(frame)),
+    )
+    ours = np.asarray(
+        gkn_apply_single(params, cfg, jnp.asarray(aa),
+                         jnp.asarray(frame[None]), graph)
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+    # init produces the matching (LSTM-free, single-stack) pytree
+    from molecular_dynamics_neural_operator_tpu.models import gkn_init as gi
+    assert set(gi(jax.random.PRNGKey(0), cfg)) == set(params)
+    # the full-layout importer refuses without the flag, with guidance
+    import dataclasses
+
+    import pytest
+
+    with pytest.raises(ValueError, match="legacy_no_lstm"):
+        import_legacy_state_dict(
+            sd, dataclasses.replace(cfg, legacy_no_lstm=False))
+
+
+def test_legacy_checkpoint_sparse_path_and_rollout():
+    """Legacy variant on the padded-sparse path == dense path, and the
+    rollout scan runs it (the notebook's propogate loop, cells 19-23)."""
+    from molecular_dynamics_neural_operator_tpu.data import WindowDataset
+    from molecular_dynamics_neural_operator_tpu.data.synthetic import (
+        synthetic_trajectory,
+    )
+    from molecular_dynamics_neural_operator_tpu.models import gkn_init
+    from molecular_dynamics_neural_operator_tpu.models.gkn import gkn_apply
+    from molecular_dynamics_neural_operator_tpu.rollout import rollout_scan
+    from molecular_dynamics_neural_operator_tpu.train.loop import (
+        featurize_batch,
+    )
+
+    cfg_d = ModelConfig(width=16, ker_width=32, depth=2, window_size=1,
+                        num_residues=12, compute_dtype="float32",
+                        legacy_no_lstm=True, predict_delta=True)
+    import dataclasses
+
+    cfg_s = dataclasses.replace(cfg_d, graph_mode="sparse", max_edges=128)
+    params = gkn_init(jax.random.PRNGKey(2), cfg_d)
+    traj = synthetic_trajectory(num_frames=8, num_residues=12, seed=6)
+    idx = np.array([0, 3])
+    ds_d = WindowDataset(traj, window_size=1, graph_mode="dense")
+    ds_s = WindowDataset(traj, window_size=1, graph_mode="sparse",
+                         max_edges=128)
+    out_d = gkn_apply(params, cfg_d,
+                      featurize_batch(cfg_d, ds_d.get_batch(idx)))
+    out_s = gkn_apply(params, cfg_s,
+                      featurize_batch(cfg_s, ds_s.get_batch(idx)))
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_d),
+                               rtol=2e-5, atol=2e-6)
+    coords, _, _ = rollout_scan(
+        params, cfg_s, jnp.asarray(traj.aminoacids),
+        jnp.asarray(traj.positions[:1]), 4, clip=100.0)
+    assert coords.shape == (4, 12, 3)
+
+
 def test_export_import_roundtrip():
     """torch_export is the exact inverse of torch_import: params survive a
     JAX -> reference-state_dict -> JAX round trip bit-for-bit."""

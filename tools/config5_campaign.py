@@ -118,6 +118,24 @@ def main():
                         "residual_prior): 'extrapolate' starts training "
                         "from the constant-velocity baseline instead of "
                         "copy-last")
+    p.add_argument("--prior_damping", type=float, default=1.0,
+                   help="damping on the extrapolate prior (configs.py): "
+                        "< 1 contracts the implied velocity toward "
+                        "copy-last each step, bounding long-horizon drift")
+    p.add_argument("--head_init", choices=["default", "zero"],
+                   default="default",
+                   help="'zero' zero-initializes the fc2 head (the "
+                        "residual model starts exactly at its prior)")
+    p.add_argument("--kernel_init_scale", type=float, default=1.0,
+                   help="multiplier on the edge-kernel MLP's final-layer "
+                        "init; ~1/(2*depth) keeps the f32 init forward "
+                        "finite at depth 6 (VERDICT r4 item 7)")
+    p.add_argument("--degree_headroom", type=int, default=8,
+                   help="extra in-degree capacity above the max observed "
+                        "across ALL training frames — prior rollouts "
+                        "drift and densify locally; the round-4 prior "
+                        "campaigns overflowed a capacity sized from "
+                        "frame 0 alone")
     p.add_argument("--window_diff", action="store_true",
                    help="velocity window encoding (configs.py:81-82) — "
                         "puts the ~1e-4-relative per-step displacement "
@@ -163,10 +181,15 @@ def main():
                               args.threshold)
     counts = np.array([e.shape[1] for e in edge_lists])
     gen_edges_s = time.time() - t0
-    deg = np.zeros(args.nodes, np.int64)
-    np.add.at(deg, edge_lists[0][1], 1)
-    max_deg = int(deg.max())
-    max_degree = ((max_deg + 7) // 8) * 8
+    # max in-degree over ALL training frames (+ headroom): the round-4
+    # prior campaigns sized capacity from frame 0 alone and the evaluated
+    # rollout overflowed (VERDICT r4 item 3)
+    max_deg = 0
+    for el in edge_lists:
+        deg = np.zeros(args.nodes, np.int64)
+        np.add.at(deg, el[1], 1)
+        max_deg = max(max_deg, int(deg.max()))
+    max_degree = ((max_deg + args.degree_headroom + 7) // 8) * 8
     max_edges = args.nodes * max_degree
     print(f"[graph] {counts.min()}-{counts.max()} edges/frame, max "
           f"in-degree {max_deg} -> blocked max_degree {max_degree} "
@@ -192,6 +215,8 @@ def main():
         num_residues=args.nodes, max_edges=max_edges,
         width=args.width, ker_width=args.ker_width, depth=args.depth,
         predict_delta=True, predict_prior=args.predict_prior,
+        prior_damping=args.prior_damping, head_init=args.head_init,
+        kernel_init_scale=args.kernel_init_scale,
         electrostatics="dh",
         scatter_mode="blocked", train_conv_impl="xla",
         neighbor_impl="cell_list", max_degree=max_degree,

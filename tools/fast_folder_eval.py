@@ -29,13 +29,15 @@ import numpy as np
 
 
 def run_preset(name: str, train_steps: int, horizon: int, k: int,
-               frames: int, batch: int, lr: float, prior="last") -> dict:
+               frames: int, batch: int, lr: float, prior="last",
+               head_init="default", prior_damping=1.0,
+               generator="modes") -> dict:
     import jax
     import jax.numpy as jnp
 
     from molecular_dynamics_neural_operator_tpu.configs import TrainConfig
     from molecular_dynamics_neural_operator_tpu.data import (
-        WindowDataset, synthetic_trajectory)
+        WindowDataset, langevin_trajectory, synthetic_trajectory)
     from molecular_dynamics_neural_operator_tpu.geometry import contact_map
     from molecular_dynamics_neural_operator_tpu.presets import PRESETS
     from molecular_dynamics_neural_operator_tpu.rollout import (
@@ -48,10 +50,13 @@ def run_preset(name: str, train_steps: int, horizon: int, k: int,
     cfg = dataclasses.replace(
         PRESETS[name], compute_dtype="float32", graph_mode="sparse",
         max_edges=PRESETS[name].max_edges, predict_delta=True,
-        predict_prior=prior,
+        predict_prior=prior, head_init=head_init,
+        prior_damping=prior_damping,
     )
     r = cfg.num_residues
-    traj = synthetic_trajectory(num_frames=frames, num_residues=r, seed=13)
+    gen = (langevin_trajectory if generator == "langevin"
+           else synthetic_trajectory)
+    traj = gen(num_frames=frames, num_residues=r, seed=13)
     tcfg = TrainConfig(lr=lr, weight_decay=1e-6, batch_size=batch,
                        grad_clip_norm=1.0, skip_nonfinite_updates=True)
     ds = WindowDataset(traj, window_size=cfg.window_size,
@@ -97,6 +102,10 @@ def run_preset(name: str, train_steps: int, horizon: int, k: int,
 
     return {
         "preset": name,
+        "generator": generator,
+        "predict_prior": prior,
+        "head_init": head_init,
+        "prior_damping": prior_damping,
         "num_residues": r,
         "train_steps": train_steps,
         "train_seconds": round(train_seconds, 1),
@@ -127,13 +136,21 @@ def main():
     p.add_argument("--presets", nargs="+", default=["trp_cage", "villin"])
     p.add_argument("--predict_prior", choices=["last", "extrapolate"],
                    default="last")
+    p.add_argument("--head_init", choices=["default", "zero"],
+                   default="default")
+    p.add_argument("--prior_damping", type=float, default=1.0)
+    p.add_argument("--generator", choices=["modes", "langevin"],
+                   default="modes")
     p.add_argument("--out", type=Path,
                    default=Path(__file__).parent / "fast_folder_results.json")
     args = p.parse_args()
 
     results = [
         run_preset(name, args.steps, args.horizon, args.k, args.frames,
-                   args.batch, args.lr, prior=args.predict_prior)
+                   args.batch, args.lr, prior=args.predict_prior,
+                   head_init=args.head_init,
+                   prior_damping=args.prior_damping,
+                   generator=args.generator)
         for name in args.presets
     ]
     args.out.write_text(json.dumps(results, indent=2))

@@ -113,6 +113,32 @@ class TorchKernelNN(nn.Module):
         return out
 
 
+class TorchLegacyKernelNN(nn.Module):
+    """The OLDER reference KernelNN the analysis notebook loads
+    (bba_analysis.ipynb cell 8): Embedding + fc1 + a single weight-tied
+    NNConv_old stack + fc2 — no LSTM, window_size=1 semantics (node
+    features = [emb ; coordinates]). Attribute names produce that
+    checkpoint's state_dict keys."""
+
+    def __init__(self, width, ker_width, depth):
+        super().__init__()
+        self.depth = depth
+        self.emb = nn.Embedding(20, 4)
+        self.fc1 = nn.Linear(7, width)
+        kernel = TorchDenseNet([6, ker_width, ker_width, width**2])
+        self.conv1 = TorchNNConv(width, kernel)
+        self.fc2 = nn.Linear(width, 3)
+
+    def forward(self, frame, aa, edge_index, edge_attr):
+        # frame: (R, 3) — the dataset item shape the notebook shows
+        # (x_position=[28, 3], cell 32)
+        x = torch.cat((self.emb(aa), frame), dim=1)
+        x = F.relu(self.fc1(x))
+        for _ in range(self.depth):
+            x = F.relu(self.conv1(x, edge_index, edge_attr))
+        return self.fc2(x)
+
+
 def construct_graph(frame: np.ndarray, threshold: float = 8.0):
     """Reference construct_pairdata graph build (graph_kernel.py:362-379):
     scipy distance matrix < threshold on ONE frame, COO edge order,
