@@ -104,8 +104,9 @@ def _forward_edge_shard(params, cfg: ModelConfig, aa, window, edges, mask,
 
     for _ in range(cfg.depth):
         x = layer(x, params["conv1"], kernels)
-    for _ in range(cfg.depth):
-        x = layer(x, params["conv2"], kernels2)
+    if not getattr(cfg, "legacy_no_lstm", False):
+        for _ in range(cfg.depth):
+            x = layer(x, params["conv2"], kernels2)
     out = linear_apply(params["fc2"], x)
     if cfg.predict_delta:
         # Residual head, exactly as gkn_apply (residual_prior covers the

@@ -31,7 +31,7 @@ import numpy as np
 def run_preset(name: str, train_steps: int, horizon: int, k: int,
                frames: int, batch: int, lr: float, prior="last",
                head_init="default", prior_damping=1.0,
-               generator="modes") -> dict:
+               kernel_init_scale=1.0, generator="modes") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -51,7 +51,7 @@ def run_preset(name: str, train_steps: int, horizon: int, k: int,
         PRESETS[name], compute_dtype="float32", graph_mode="sparse",
         max_edges=PRESETS[name].max_edges, predict_delta=True,
         predict_prior=prior, head_init=head_init,
-        prior_damping=prior_damping,
+        prior_damping=prior_damping, kernel_init_scale=kernel_init_scale,
     )
     r = cfg.num_residues
     gen = (langevin_trajectory if generator == "langevin"
@@ -106,6 +106,7 @@ def run_preset(name: str, train_steps: int, horizon: int, k: int,
         "predict_prior": prior,
         "head_init": head_init,
         "prior_damping": prior_damping,
+        "kernel_init_scale": kernel_init_scale,
         "num_residues": r,
         "train_steps": train_steps,
         "train_seconds": round(train_seconds, 1),
@@ -139,6 +140,7 @@ def main():
     p.add_argument("--head_init", choices=["default", "zero"],
                    default="default")
     p.add_argument("--prior_damping", type=float, default=1.0)
+    p.add_argument("--kernel_init_scale", type=float, default=1.0)
     p.add_argument("--generator", choices=["modes", "langevin"],
                    default="modes")
     p.add_argument("--out", type=Path,
@@ -150,6 +152,7 @@ def main():
                    args.batch, args.lr, prior=args.predict_prior,
                    head_init=args.head_init,
                    prior_damping=args.prior_damping,
+                   kernel_init_scale=args.kernel_init_scale,
                    generator=args.generator)
         for name in args.presets
     ]
