@@ -289,6 +289,43 @@ def test_prior_damping_algebra(tiny_model_cfg):
         rtol=0, atol=0)
 
 
+def test_init_gain_disease_and_fix_at_flagship_config():
+    """Regression pin for the training-explosion root cause (VERDICT r4
+    item 5): at the flagship BBA config (width 64, ker 1024, depth 6)
+    the torch-default edge-kernel init gives the tied conv stack a
+    ~3.2x/layer gain — latent rms ~1e6 at init and ~6600x amplification
+    of input perturbations, which is what turned fed-back prediction
+    errors into the deterministic K=1/K-switch explosions
+    (tools/init_gain_probe.py, docs/PERFORMANCE.md "Init-gain root
+    cause"). kernel_init_scale=0.25 must keep the init forward O(1)."""
+    import dataclasses
+
+    from molecular_dynamics_neural_operator_tpu.data import WindowDataset
+    from molecular_dynamics_neural_operator_tpu.data.synthetic import (
+        synthetic_trajectory,
+    )
+    from molecular_dynamics_neural_operator_tpu.train.loop import (
+        featurize_batch,
+    )
+
+    traj = synthetic_trajectory(num_frames=16, num_residues=28, seed=11)
+    base = ModelConfig(width=64, ker_width=1024, depth=6,
+                       graph_mode="sparse", max_edges=512,
+                       compute_dtype="float32", predict_delta=True)
+    ds = WindowDataset(traj, window_size=base.window_size,
+                       graph_mode="sparse", max_edges=512)
+    batch = featurize_batch(base, ds.get_batch(np.array([0])))
+
+    def latent_rms(cfg):
+        params = gkn_init(jax.random.PRNGKey(0), cfg)
+        _, lat = gkn_apply(params, cfg, batch, return_latent=True)
+        return float(jnp.sqrt(jnp.mean(lat.astype(jnp.float32) ** 2)))
+
+    assert latent_rms(base) > 1e4  # the disease (default init)
+    fixed = dataclasses.replace(base, kernel_init_scale=0.25)
+    assert latent_rms(fixed) < 10.0  # the fix
+
+
 def test_kernel_init_scale_scales_final_layer(tiny_model_cfg):
     """kernel_init_scale multiplies ONLY the edge-kernel MLP's last layer
     (both convs' kernels shrink proportionally at init)."""

@@ -82,6 +82,12 @@ def main():
                    default="default",
                    help="'zero' zero-initializes the fc2 head so the "
                         "step-0 forecast is exactly the prior")
+    p.add_argument("--kernel_init_scale", type=float, default=1.0,
+                   help="multiplier on the edge-kernel MLP's final-layer "
+                        "init — 0.25 tames the conv stack's 3.2x/layer "
+                        "init gain (tools/init_gain_probe.py), the root "
+                        "cause of the K=1 transient and K-switch "
+                        "explosions")
     p.add_argument("--generator", choices=["modes", "langevin"],
                    default="modes",
                    help="synthetic family: 'modes' = noiseless 3-sinusoid "
@@ -114,6 +120,7 @@ def main():
                       predict_prior=args.predict_prior,
                       prior_damping=args.prior_damping,
                       head_init=args.head_init,
+                      kernel_init_scale=args.kernel_init_scale,
                       train_conv_impl=args.train_conv_impl,
                       window_diff=args.window_diff,
                       window_diff_scale=args.window_diff_scale)
