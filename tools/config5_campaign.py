@@ -80,6 +80,68 @@ def breathing_trajectory(base: np.ndarray, num_frames: int, seed: int,
     return (base[None] + disp).astype(np.float32)
 
 
+def langevin_field_trajectory(base: np.ndarray, num_frames: int, seed: int,
+                              dt: float = 0.05, friction: float = 0.02,
+                              kT: float = 0.5, eps_well: float = 2.0,
+                              well_width: float = 0.8,
+                              k_bond: float = 5.0, k_center: float = 0.02,
+                              bond_cutoff: float = 4.5,
+                              well_cutoff: float = 6.0,
+                              burn_in: int = 500):
+    """10k-atom analogue of ``data/synthetic.py::langevin_trajectory``:
+    BAOAB Langevin dynamics on an anharmonic network over the serpentine
+    grid — nearest grid neighbors are stiff harmonic bonds, next-nearest
+    pairs interact through double-well potentials (minima at r0 +-
+    well_width), plus a weak tether to the base grid. Built so BOTH
+    trivial forecasters fail at 10k scale the way they do on the
+    BBA-scale Langevin gate (the breathing sinusoid field is provably
+    linear-optimal — tools/linear_probe_10k_results.json — so no network
+    can beat extrapolation on it)."""
+    from scipy.spatial import cKDTree
+
+    rng = np.random.default_rng(seed)
+    base = base.astype(np.float64)
+    tree = cKDTree(base)
+    pairs = tree.query_pairs(well_cutoff, output_type="ndarray")
+    d0 = np.linalg.norm(base[pairs[:, 0]] - base[pairs[:, 1]], axis=1)
+    bb = d0 < bond_cutoff
+    ei, ej, r0 = pairs[:, 0], pairs[:, 1], d0
+    inv_w4 = 1.0 / well_width ** 4
+    n = base.shape[0]
+
+    def forces(x):
+        dvec = x[ei] - x[ej]
+        r = np.linalg.norm(dvec, axis=1)
+        u = r - r0
+        dv = np.where(
+            bb, k_bond * u,
+            4.0 * eps_well * u * (u * u - well_width ** 2) * inv_w4,
+        )
+        fpair = (dv / np.maximum(r, 1e-9))[:, None] * dvec
+        f = np.zeros_like(x)
+        np.add.at(f, ei, -fpair)
+        np.add.at(f, ej, fpair)
+        return f - k_center * (x - base)
+
+    x = base + rng.normal(scale=0.5 * well_width, size=base.shape)
+    v = rng.normal(scale=np.sqrt(kT), size=base.shape)
+    c1 = np.exp(-friction * dt)
+    c2 = np.sqrt(kT * (1.0 - c1 * c1))
+    half = 0.5 * dt
+    out = np.empty((num_frames, n, 3), np.float32)
+    f = forces(x)
+    for step in range(burn_in + num_frames):
+        v = v + half * f
+        x = x + half * v
+        v = c1 * v + c2 * rng.normal(size=v.shape)
+        x = x + half * v
+        f = forces(x)
+        v = v + half * f
+        if step >= burn_in:
+            out[step - burn_in] = x.astype(np.float32)
+    return out
+
+
 def kdtree_edges(positions: np.ndarray, threshold: float):
     """Exact per-frame COO edge lists (incl. self-loops) via cKDTree."""
     from scipy.spatial import cKDTree
@@ -111,6 +173,14 @@ def main():
     p.add_argument("--depth", type=int, default=4)
     p.add_argument("--amplitude", type=float, default=0.35)
     p.add_argument("--dt", type=float, default=0.02)
+    p.add_argument("--field", choices=["modes", "langevin"],
+                   default="modes",
+                   help="displacement field: 'modes' = smooth breathing "
+                        "sinusoids (linear forecasters near-optimal); "
+                        "'langevin' = anharmonic double-well network "
+                        "under Langevin dynamics (learning required; "
+                        "dt/amplitude flags are ignored — the generator "
+                        "has its own scales)")
     p.add_argument("--threshold", type=float, default=8.0)
     p.add_argument("--predict_prior", choices=["last", "extrapolate"],
                    default="last",
@@ -168,8 +238,12 @@ def main():
     t_all0 = time.time()
     total_frames = args.train_frames + args.rollout_steps + 16
     base = serpentine_grid(args.nodes, args.spacing)
-    positions = breathing_trajectory(base, total_frames, seed=5,
-                                     amplitude=args.amplitude, dt=args.dt)
+    if args.field == "langevin":
+        positions = langevin_field_trajectory(base, total_frames, seed=5)
+    else:
+        positions = breathing_trajectory(base, total_frames, seed=5,
+                                         amplitude=args.amplitude,
+                                         dt=args.dt)
     step_rms = float(np.sqrt(np.mean(
         (positions[1:] - positions[:-1]) ** 2)))
     print(f"[gen] {positions.shape} extent "
