@@ -110,6 +110,7 @@ def curriculum_loss_batched(
     grad_steps: Optional[int] = None,
     burnin_dtype: Optional[str] = None,
     unroll_scans: bool = False,
+    teacher_scatter_hint: Optional[str] = None,
 ):
     """Whole-batch K-step curriculum loss: ONE scan over rollout steps with
     batched graph rebuild and the batched forward — so the Pallas training
@@ -232,10 +233,14 @@ def curriculum_loss_batched(
     else:
         cfg_burn = cfg
 
-    # Step 1: teacher-semantics stored graph. Supervised only when the
+    # Step 1: teacher-semantics stored graph (or, under
+    # graph_frame="rebuild", a graph rebuilt on device from the window's
+    # last frame — ``teacher_scatter_hint`` then carries the rebuild
+    # layout, exactly like the free steps below). Supervised only when the
     # whole horizon is (burn == 0) — otherwise it opens the burn-in (no
     # cotangent reaches it, so it may run at the burn-in dtype).
-    out = gkn_apply(params, cfg_burn, gbatch)
+    out = gkn_apply(params, cfg_burn, gbatch,
+                    scatter_hint=teacher_scatter_hint)
     if burn == 0:
         loss_vec = weights[0] * rel(out, y_seq[:, 0], gbatch.window[:, -1])
     else:
@@ -353,11 +358,47 @@ def make_curriculum_train_step(
         raise ValueError(
             f"grad_steps must be in [1, rollout_steps={rollout_steps}], "
             f"got {grad_steps}")
+    if graph_frame not in ("first", "last", "rebuild"):
+        raise ValueError(f"unknown graph_frame: {graph_frame!r} "
+                         "(expected 'first', 'last' or 'rebuild')")
     from molecular_dynamics_neural_operator_tpu.train.noise import (
         noised_window,
     )
 
     def loss_fn(params, batch):
+        if graph_frame == "rebuild":
+            # Rebuild the TEACHER step's graph on device from the window's
+            # last frame — the same geometry the free steps and the
+            # inference rollout use (rollout/scan.py graph_frame="last").
+            # The reference trains on the stored window-START graph
+            # (dataset.py:189,197) but rolls out on last-frame rebuilds
+            # (graph_kernel.py:363); on quasi-static data the mismatch is
+            # invisible, but when real per-frame motion carries the signal
+            # (the Langevin benchmark family) the force correction depends
+            # on CURRENT pair geometry, which only this mode feeds the
+            # edge-conditioned conv at train time.
+            from molecular_dynamics_neural_operator_tpu.models import (
+                GKNBatch,
+            )
+            from molecular_dynamics_neural_operator_tpu.rollout.scan import (
+                _build_graph,
+                rebuilt_scatter_hint,
+            )
+            frame = batch["window"][:, -1]
+            graph, ov0 = jax.vmap(
+                lambda f: _build_graph(cfg, f, threshold)
+            )(frame)
+            gbatch = GKNBatch(aa=batch["aa"], window=batch["window"],
+                              graph=graph, y=batch["y"])
+            loss, (m, ovf) = curriculum_loss_batched(
+                params, cfg, gbatch, batch["y_seq"], threshold,
+                step_weights, coord_clip, return_overflow=True,
+                loss_space=loss_space, grad_steps=grad_steps,
+                burnin_dtype=burnin_dtype, unroll_scans=unroll_scans,
+                teacher_scatter_hint=rebuilt_scatter_hint(
+                    cfg, batch["aa"].shape[0]),
+            )
+            return loss, (m, ovf | jnp.any(ov0))
         gbatch = featurize_batch(cfg, batch, graph_frame)
         return curriculum_loss_batched(
             params, cfg, gbatch, batch["y_seq"], threshold, step_weights,

@@ -46,6 +46,7 @@ def train_curriculum_recipe(
     on_divergence: str = "abort",
     max_backoffs: int = 2,
     explosion_factor: float = 1e4,
+    graph_frame: str = "first",
 ):
     """Train ``steps`` optimizer steps: the first ``warmup_frac`` fraction
     (at least ``min_warmup`` steps) teacher-forced (K=1), the rest with the
@@ -99,13 +100,13 @@ def train_curriculum_recipe(
         step_k1 = make_curriculum_train_step(
             cfg, tx, rollout_steps=1, threshold=threshold,
             coord_clip=coord_clip, loss_space=loss_space,
-            noise_std=noise_std,
+            noise_std=noise_std, graph_frame=graph_frame,
         )
         step_k = make_curriculum_train_step(
             cfg, tx, rollout_steps=k, threshold=threshold,
             coord_clip=coord_clip, loss_space=loss_space,
             grad_steps=grad_steps, noise_std=noise_std,
-            burnin_dtype=burnin_dtype,
+            burnin_dtype=burnin_dtype, graph_frame=graph_frame,
         )
         return state, step_k1, step_k
 

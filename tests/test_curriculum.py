@@ -645,3 +645,82 @@ def test_curriculum_with_extrapolate_prior_trains():
         losses.append(float(m["rel_l2"]))
     assert np.isfinite(losses).all(), losses
     assert losses[-1] < losses[0], losses
+
+
+def test_graph_frame_rebuild_matches_first_on_static_trajectory():
+    """graph_frame='rebuild' rebuilds the TEACHER step's graph from the
+    window's LAST frame on device. On a static trajectory (every frame
+    identical) the stored window-start graph and the last-frame rebuild
+    describe the same geometry, so losses and parameter updates must
+    coincide — pinning that the rebuild path changes the graph SOURCE
+    and nothing else. (On moving data the two genuinely differ: the
+    reference trains on the stale window-START graph, dataset.py:189,197,
+    but rolls out on last-frame rebuilds, graph_kernel.py:363.)"""
+    from molecular_dynamics_neural_operator_tpu.data.h5 import TrajectoryData
+    from molecular_dynamics_neural_operator_tpu.data.synthetic import (
+        _contact_edges,
+        synthetic_trajectory,
+    )
+
+    cfg, tcfg, _, _ = _setup()
+    base = synthetic_trajectory(num_frames=2, num_residues=10, seed=6)
+    pos = np.repeat(base.positions[:1], 30, axis=0)  # static
+    flat, _ = _contact_edges(pos, 8.0)
+    traj = TrajectoryData(
+        positions=pos,
+        edge_indices=[e.reshape(2, -1) for e in flat],
+        aminoacids=base.aminoacids,
+        rmsd=np.zeros((30,), np.float32),
+    )
+    ds = WindowDataset(traj, window_size=4)
+    batch = ds.get_batch(np.arange(8), rollout_horizon=2)
+
+    state0, tx, _ = create_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    step_first = make_curriculum_train_step(cfg, tx, rollout_steps=2,
+                                            graph_frame="first")
+    step_rebuild = make_curriculum_train_step(cfg, tx, rollout_steps=2,
+                                              graph_frame="rebuild")
+    s_f, m_f = step_first(state0, batch)
+    s_r, m_r = step_rebuild(state0, batch)
+    np.testing.assert_allclose(float(m_f["rel_l2"]), float(m_r["rel_l2"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_f.params),
+                    jax.tree_util.tree_leaves(s_r.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_graph_frame_rebuild_differs_on_moving_trajectory():
+    """On data with real per-frame motion the teacher-step graphs differ
+    (window start vs last frame), so the two modes must produce different
+    gradients — the Langevin family's learnability depends on this."""
+    from molecular_dynamics_neural_operator_tpu.data import (
+        langevin_trajectory,
+    )
+
+    cfg, tcfg, _, _ = _setup()
+    traj = langevin_trajectory(num_frames=40, num_residues=10, seed=3,
+                               burn_in=50)
+    ds = WindowDataset(traj, window_size=4)
+    batch = ds.get_batch(np.arange(8), rollout_horizon=1)
+    state0, tx, _ = create_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    step_first = make_curriculum_train_step(cfg, tx, rollout_steps=1,
+                                            graph_frame="first")
+    step_rebuild = make_curriculum_train_step(cfg, tx, rollout_steps=1,
+                                              graph_frame="rebuild")
+    s_f, _ = step_first(state0, batch)
+    s_r, _ = step_rebuild(state0, batch)
+    diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+             for a, b in zip(jax.tree_util.tree_leaves(s_f.params),
+                             jax.tree_util.tree_leaves(s_r.params))]
+    assert max(diffs) > 1e-6, diffs
+
+
+def test_graph_frame_validation():
+    import pytest
+
+    cfg, tcfg, _, _ = _setup()
+    _, tx, _ = create_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    with pytest.raises(ValueError, match="graph_frame"):
+        make_curriculum_train_step(cfg, tx, rollout_steps=1,
+                                   graph_frame="lst")

@@ -95,6 +95,15 @@ def main():
                         "it); 'langevin' = anharmonic double-well network "
                         "under Langevin dynamics — the benchmark where "
                         "learning is required (data/synthetic.py)")
+    p.add_argument("--graph_frame", choices=["first", "rebuild"],
+                   default="first",
+                   help="teacher-step graph source: 'first' = the stored "
+                        "window-START graph (reference training semantics, "
+                        "dataset.py:189,197); 'rebuild' = rebuild from the "
+                        "window's LAST frame on device, matching the free "
+                        "steps and the inference rollout — required on the "
+                        "langevin family, where the force correction "
+                        "depends on CURRENT pair geometry")
     p.add_argument("--window_diff", action="store_true",
                    help="encode the window as [last frame ; scaled frame "
                         "diffs] so the LSTM sees velocities directly")
@@ -141,6 +150,7 @@ def main():
                     else args.grad_steps if args.grad_steps > 0 else None),
         noise_std=args.noise_std,
         burnin_dtype=args.burnin_dtype,
+        graph_frame=args.graph_frame,
     )
 
     # --- evaluation: free rollout from the validation region
