@@ -161,6 +161,12 @@ def parse_args(argv=None):
                         "practice) so the step-0 forecast is exactly the "
                         "prior — required for a residual head that never "
                         "hurts its prior")
+    p.add_argument("--head_scale", type=float, default=1.0,
+                   help="GNS target normalization: the residual head's "
+                        "output is multiplied by this before the prior is "
+                        "added — set to ~std(y - prior) of the data so the "
+                        "head's training dynamics live at the learning "
+                        "target's scale (configs.ModelConfig.head_scale)")
     p.add_argument("--kernel_init_scale", type=float, default=1.0,
                    help="multiplier on the edge-kernel MLP's final-layer "
                         "init; ~1/(2*depth) keeps the f32 init forward "
@@ -243,6 +249,7 @@ def build_configs(args):
         predict_prior=args.predict_prior,
         prior_damping=args.prior_damping,
         head_init=args.head_init,
+        head_scale=args.head_scale,
         kernel_init_scale=args.kernel_init_scale,
         window_diff=args.window_diff,
         window_diff_scale=args.window_diff_scale,
@@ -333,6 +340,7 @@ def _main_fno(args, data_cfg, train_cfg):
         predict_prior=args.fno_predict_prior,
         prior_damping=args.prior_damping,
         head_init=args.head_init,
+        head_scale=args.head_scale,
     )
     # config.json parity with the GKN path: --run_path consumers
     # (examples/bba_analysis.py, cli/export.py) read the fno section.

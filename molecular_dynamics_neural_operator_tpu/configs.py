@@ -99,6 +99,18 @@ class ModelConfig:
     # bare extrapolation (round-4 prior gates). "default" keeps the
     # reference's uniform init (graph_kernel.py:275).
     head_init: str = "default"  # "default" | "zero"
+    # GNS-style target normalization: the residual head's output is
+    # multiplied by this scalar before being added to the prior
+    # (out = prior + head_scale * head(latent)). The quantity the head
+    # must learn — the correction beyond the prior — is ~1e-2 A on
+    # MD-like data while Adam moves weights at O(lr) over O(1) latents,
+    # so an unscaled head's output dynamics live orders above the
+    # learning target and training parks at the prior (measured: the
+    # Langevin K=1 phase sits at the init loss for 1400 steps). Set to
+    # ~std(y - prior) of the training data (tools/accuracy_eval.py
+    # --head_scale auto calibrates it). 1.0 = reference parity; only
+    # read when predict_delta=True.
+    head_scale: float = 1.0
     # Multiplier on the edge-kernel MLP's FINAL layer init (weights and
     # bias). The torch-default init overflows the f32 init forward at
     # depth 6 / 10k atoms (activations compound through 2*depth convs —
@@ -188,6 +200,18 @@ class FNOConfig:
     # "zero" zero-initializes the proj2 head (ModelConfig.head_init
     # semantics): the step-0 forecast is exactly the prior.
     head_init: str = "default"  # "default" | "zero"
+    # GNS-style target normalization: the residual head's output is
+    # multiplied by this scalar before being added to the prior
+    # (out = prior + head_scale * head(latent)). The quantity the head
+    # must learn — the correction beyond the prior — is ~1e-2 A on
+    # MD-like data while Adam moves weights at O(lr) over O(1) latents,
+    # so an unscaled head's output dynamics live orders above the
+    # learning target and training parks at the prior (measured: the
+    # Langevin K=1 phase sits at the init loss for 1400 steps). Set to
+    # ~std(y - prior) of the training data (tools/accuracy_eval.py
+    # --head_scale auto calibrates it). 1.0 = reference parity; only
+    # read when predict_delta=True.
+    head_scale: float = 1.0
 
 
 @dataclass(frozen=True)

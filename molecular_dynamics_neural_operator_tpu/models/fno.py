@@ -202,6 +202,8 @@ def fno_apply(params, cfg: FNOConfig, x: Array, return_latent: bool = False):
         # Residual head: the last input channel is the most recent
         # distance matrix, so the network only has to model the ~1e-4
         # relative per-step change (broadcasts over out_channels).
+        # head_scale = GNS target normalization (configs.FNOConfig).
+        out = out * float(getattr(cfg, "head_scale", 1.0))
         prior = getattr(cfg, "predict_prior", "last")
         if prior == "last":
             out = out + x[..., -1:]

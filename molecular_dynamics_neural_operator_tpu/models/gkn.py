@@ -198,6 +198,10 @@ def _encode_nodes(params, cfg: ModelConfig, aa: Array, window: Array) -> Array:
     return jax.nn.relu(linear_apply(params["fc1"], x))
 
 
+def _head_scale(cfg: ModelConfig) -> float:
+    return float(getattr(cfg, "head_scale", 1.0))
+
+
 def residual_prior(cfg: ModelConfig, window: Array) -> Array:
     """Base forecast corrected by the ``predict_delta`` head. ``window``
     carries the time axis at -3: (T, R, 3) or (B, T, R, 3).
@@ -382,10 +386,12 @@ def gkn_apply_single(
     out = linear_apply(params["fc2"], x)
     if cfg.predict_delta:
         # Residual prediction: head outputs a displacement from the prior
-        # forecast (copy-last or constant-velocity, residual_prior). New
-        # capability — the reference predicts absolute coordinates,
-        # graph_kernel.py:305, which destabilizes free rollout.
-        out = out + residual_prior(cfg, window)
+        # forecast (copy-last or constant-velocity, residual_prior),
+        # scaled by head_scale (GNS target normalization — see
+        # configs.ModelConfig.head_scale). New capability — the reference
+        # predicts absolute coordinates, graph_kernel.py:305, which
+        # destabilizes free rollout.
+        out = _head_scale(cfg) * out + residual_prior(cfg, window)
     if return_latent:
         return out, latent
     return out
@@ -474,7 +480,7 @@ def _gkn_apply_pallas_batched(params, cfg: ModelConfig, batch: GKNBatch,
     latent = x
     out = jax.vmap(lambda xx: linear_apply(params["fc2"], xx))(x)
     if cfg.predict_delta:
-        out = out + residual_prior(cfg, batch.window)
+        out = _head_scale(cfg) * out + residual_prior(cfg, batch.window)
     if return_latent:
         return out, latent
     return out

@@ -58,6 +58,13 @@ if _PALLAS:  # pragma: no branch
     from jax.experimental.pallas import tpu as pltpu
 
 
+def _hs(cfg) -> float:
+    """head_scale, applied only under predict_delta (configs.ModelConfig)."""
+    if not cfg.predict_delta:
+        return 1.0
+    return float(getattr(cfg, "head_scale", 1.0))
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -532,7 +539,11 @@ def persistent_rollout(
         params["conv1"]["bias"][None, :],
         params["conv2"]["root"].astype(cd),
         params["conv2"]["bias"][None, :],
-        params["fc2"]["w"].astype(cd), params["fc2"]["b"][None, :],
+        # head_scale folds into fc2 exactly (linear head, inference-only
+        # kernel): scale*(Wx+b) == (sW)x + (sb). Only read under
+        # predict_delta, matching models/gkn.py.
+        (params["fc2"]["w"] * _hs(cfg)).astype(cd),
+        (params["fc2"]["b"] * _hs(cfg))[None, :],
         jnp.asarray(eye), jnp.asarray(strict_l), jnp.asarray(u_incl),
         jnp.asarray(rep), jnp.asarray(red), jnp.asarray(slots),
         jnp.asarray(ones_r), jnp.asarray(ones_e), jnp.asarray(pair_valid),

@@ -361,3 +361,32 @@ def test_predict_prior_validation(tiny_model_cfg):
     batch1 = _dense_batch(cfg1)
     with pytest.raises(ValueError, match="window"):
         gkn_apply(params1, cfg1, batch1)
+
+
+def test_head_scale_algebra(tiny_model_cfg):
+    """head_scale=s (GNS target normalization): out_s - prior ==
+    s * (out_1 - prior) for the same parameters, across the vmapped
+    sparse path (configs.ModelConfig.head_scale)."""
+    import dataclasses
+
+    base = dataclasses.replace(tiny_model_cfg, predict_delta=True,
+                               predict_prior="extrapolate")
+    params = gkn_init(jax.random.PRNGKey(0), base)
+    batch = _dense_batch(base)
+    last = batch.window[:, -1]
+    prior = last + 1.0 * (last - batch.window[:, -2])
+    out1 = gkn_apply(params, base, batch)
+    cfg_s = dataclasses.replace(base, head_scale=0.01)
+    outs = gkn_apply(params, cfg_s, batch)
+    # atol covers f32 cancellation: prior is O(1), the scaled head
+    # residual O(1e-5)
+    np.testing.assert_allclose(np.asarray(outs - prior),
+                               0.01 * np.asarray(out1 - prior),
+                               rtol=1e-4, atol=2e-6)
+    # head_scale is only read under predict_delta: the absolute head is
+    # untouched
+    cfg_abs = dataclasses.replace(tiny_model_cfg, predict_delta=False)
+    cfg_abs_s = dataclasses.replace(cfg_abs, head_scale=0.01)
+    np.testing.assert_allclose(
+        np.asarray(gkn_apply(params, cfg_abs_s, batch)),
+        np.asarray(gkn_apply(params, cfg_abs, batch)), rtol=0, atol=0)

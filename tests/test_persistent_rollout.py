@@ -199,3 +199,20 @@ def test_persistent_fn_wrapper_final_window():
     coords, final_w, _ = fn(params, aa, w0)
     np.testing.assert_array_equal(np.asarray(final_w),
                                   np.asarray(coords[-4:]))
+
+
+def test_persistent_matches_scan_with_head_scale():
+    """head_scale != 1 folds into the kernel's fc2 operands exactly
+    (linear head) and must track the XLA scan."""
+    cfg = _cfg(predict_prior="extrapolate", head_scale=0.05)
+    params = gkn_init(jax.random.PRNGKey(3), cfg)
+    traj = synthetic_trajectory(num_frames=6, num_residues=12, seed=7)
+    aa = jnp.asarray(traj.aminoacids)
+    w0 = jnp.asarray(traj.positions[:4])
+    steps = 5
+    ref, _, _ = jax.jit(
+        lambda p, a, w: rollout_scan(p, cfg, a, w, steps)
+    )(params, aa, w0)
+    got, _ = persistent_rollout(params, cfg, aa, w0, steps, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

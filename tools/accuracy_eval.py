@@ -82,6 +82,11 @@ def main():
                    default="default",
                    help="'zero' zero-initializes the fc2 head so the "
                         "step-0 forecast is exactly the prior")
+    p.add_argument("--head_scale", default="1.0",
+                   help="GNS target normalization on the residual head "
+                        "(configs.ModelConfig.head_scale): a float, or "
+                        "'auto' to calibrate to std(y - prior) measured "
+                        "on the training windows")
     p.add_argument("--kernel_init_scale", type=float, default=1.0,
                    help="multiplier on the edge-kernel MLP's final-layer "
                         "init — 0.25 tames the conv stack's 3.2x/layer "
@@ -124,10 +129,25 @@ def main():
     gen = (langevin_trajectory if args.generator == "langevin"
            else synthetic_trajectory)
     traj = gen(num_frames=args.frames, num_residues=28, seed=11)
+    if args.head_scale == "auto":
+        # Calibrate to the std of the learning target: the residual beyond
+        # the prior, measured over the whole trajectory (numpy, host-side).
+        pos = traj.positions
+        if args.predict_prior == "extrapolate":
+            prior = pos[1:-1] + args.prior_damping * (pos[1:-1] - pos[:-2])
+            resid = pos[2:] - prior
+        else:
+            resid = pos[1:] - pos[:-1]
+        head_scale = float(np.std(resid))
+        print(f"head_scale auto -> {head_scale:.6g}")
+    else:
+        head_scale = float(args.head_scale)
+    args.head_scale = head_scale  # recorded in the JSON config blob
     cfg = ModelConfig(compute_dtype=args.dtype, graph_mode="sparse",
                       max_edges=args.max_edges, predict_delta=True,
                       predict_prior=args.predict_prior,
                       prior_damping=args.prior_damping,
+                      head_scale=head_scale,
                       head_init=args.head_init,
                       kernel_init_scale=args.kernel_init_scale,
                       train_conv_impl=args.train_conv_impl,
