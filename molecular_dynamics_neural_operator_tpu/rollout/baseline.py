@@ -68,3 +68,44 @@ def linear_extrapolation_baseline(prev_frame, last_frame, truth,
     cm_true = np.asarray(contact_map(jnp.asarray(truth_np), threshold))
     acc = np.mean(cm_extrap == cm_true, axis=(1, 2))
     return mse, acc
+
+
+def damped_extrapolation_baseline(prev_frame, last_frame, truth,
+                                  gamma: float, threshold: float = 8.0):
+    """Per-step metrics of the DAMPED constant-velocity forecast — the
+    prior-only rollout of a ``predict_prior="extrapolate"`` /
+    ``prior_damping=gamma`` model with a zero head.
+
+    The third honesty bar: when a damped prior is in play, beating
+    copy-last AND pure extrapolation is necessary but not sufficient —
+    the damped prior alone interpolates between them and can clear both
+    with no learning. A model's contribution is only demonstrated
+    against ITS OWN prior rolled out headless, which this computes in
+    closed form: each step the implied velocity contracts by gamma, so
+    ``x_k = last + v * gamma * (1 - gamma^k) / (1 - gamma)`` with
+    ``v = last - prev`` (the geometric partial sum; gamma=1 reduces to
+    :func:`linear_extrapolation_baseline`, gamma=0 to copy-last).
+
+    prev_frame, last_frame: (R, 3). truth: (T, R, 3). Returns
+    (coord_mse, contact_accuracy), each (T,).
+    """
+    import jax.numpy as jnp
+
+    from molecular_dynamics_neural_operator_tpu.geometry import contact_map
+
+    prev = np.asarray(prev_frame)
+    last = np.asarray(last_frame)
+    truth_np = np.asarray(truth)
+    t = truth_np.shape[0]
+    k = np.arange(1, t + 1, dtype=np.float64)
+    if gamma == 1.0:
+        coef = k
+    else:
+        coef = gamma * (1.0 - gamma ** k) / (1.0 - gamma)
+    coef = coef.astype(truth_np.dtype)[:, None, None]
+    pred = last[None] + (last - prev)[None] * coef
+    mse = np.mean((pred - truth_np) ** 2, axis=(1, 2))
+    cm_pred = np.asarray(contact_map(jnp.asarray(pred), threshold))
+    cm_true = np.asarray(contact_map(jnp.asarray(truth_np), threshold))
+    acc = np.mean(cm_pred == cm_true, axis=(1, 2))
+    return mse, acc

@@ -212,3 +212,36 @@ def test_rebuilt_scatter_hint_choices():
     assert rebuilt_scatter_hint(cl, 10) == "onehot"
     dn = ModelConfig(graph_mode="dense")
     assert rebuilt_scatter_hint(dn, 10) is None
+
+
+def test_damped_extrapolation_baseline_limits():
+    """gamma=1 == linear extrapolation; gamma=0 == copy-last; a
+    mid-gamma forecast matches the explicit per-step recurrence
+    (rollout/baseline.py::damped_extrapolation_baseline)."""
+    from molecular_dynamics_neural_operator_tpu.rollout.baseline import (
+        copy_last_baseline,
+        damped_extrapolation_baseline,
+        linear_extrapolation_baseline,
+    )
+
+    rng = np.random.default_rng(0)
+    prev = rng.normal(size=(7, 3)).astype(np.float32)
+    last = (prev + 0.1 * rng.normal(size=(7, 3))).astype(np.float32)
+    truth = rng.normal(size=(6, 7, 3)).astype(np.float32)
+
+    m1, a1 = damped_extrapolation_baseline(prev, last, truth, 1.0)
+    me, ae = linear_extrapolation_baseline(prev, last, truth)
+    np.testing.assert_allclose(m1, me, rtol=1e-6)
+    m0, a0 = damped_extrapolation_baseline(prev, last, truth, 0.0)
+    mc, ac = copy_last_baseline(last, truth)
+    np.testing.assert_allclose(m0, mc, rtol=1e-6)
+
+    g = 0.6
+    mg, _ = damped_extrapolation_baseline(prev, last, truth, g)
+    x, v = last.copy(), (last - prev).copy()
+    for kstep in range(truth.shape[0]):
+        v = g * v
+        x = x + v
+        np.testing.assert_allclose(
+            float(np.mean((x - truth[kstep]) ** 2)), float(mg[kstep]),
+            rtol=1e-4)

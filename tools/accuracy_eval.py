@@ -251,6 +251,29 @@ def main():
         "step100": float(mses[min(99, fin-1)] / ex_mse[min(99, fin-1)])
         if fin >= 100 else None,
     }
+    if args.predict_prior == "extrapolate" and args.prior_damping != 1.0:
+        # Third honesty bar: the model's OWN prior rolled out headless
+        # (closed form) — a damped prior interpolates copy-last and
+        # extrapolation and can clear both bars with no learning.
+        from molecular_dynamics_neural_operator_tpu.rollout.baseline import (
+            damped_extrapolation_baseline,
+        )
+
+        dp_mse, dp_acc = damped_extrapolation_baseline(
+            w0[-2], w0[-1], truth, args.prior_damping, 8.0)
+        out["baseline_prior_only"] = {
+            "coord_mse": {"step1": float(dp_mse[0]),
+                          "step10": float(dp_mse[min(9, len(dp_mse)-1)]),
+                          "step100": float(dp_mse[min(99, len(dp_mse)-1)])},
+            "contact_map_accuracy_mean": float(dp_acc.mean()),
+        }
+        out["model_over_prior_only_mse"] = {
+            "step1": float(mses[0] / dp_mse[0]) if fin >= 1 else None,
+            "step10": float(mses[min(9, fin-1)] / dp_mse[min(9, fin-1)])
+            if fin >= 10 else None,
+            "step100": float(mses[min(99, fin-1)] / dp_mse[min(99, fin-1)])
+            if fin >= 100 else None,
+        }
     if len(mses) > 100:
         # long-horizon runs: keep the full (decimated) curves so the
         # extrapolation-divergence crossover is in the artifact

@@ -67,6 +67,9 @@ def main():
     p.add_argument("--prior_damping", type=float, default=1.0,
                    help="damping on the extrapolate prior "
                         "(FNOConfig.prior_damping)")
+    p.add_argument("--head_scale", type=float, default=1.0,
+                   help="GNS target normalization on the residual head "
+                        "(configs.FNOConfig.head_scale)")
     p.add_argument("--head_init", choices=["default", "zero"],
                    default="default",
                    help="'zero' zero-inits the proj2 head so the step-0 "
@@ -108,6 +111,7 @@ def main():
                     predict_delta=args.predict_delta,
                     predict_prior=args.predict_prior,
                     prior_damping=args.prior_damping,
+                    head_scale=args.head_scale,
                     head_init=args.head_init)
     ds = WindowDataset(traj, window_size=args.window, graph_mode="none")
     tr_idx, va_idx = train_valid_split(len(ds), 0.8, "partition")
