@@ -131,8 +131,8 @@ def langevin_trajectory(
     threshold: float = 8.0,
     seed: int = 0,
     dt: float = 0.05,
-    friction: float = 0.02,
-    kT: float = 0.5,
+    friction: float = 0.5,
+    kT: float = 0.15,
     eps_well: float = 2.0,
     well_width: float = 1.0,
     k_backbone: float = 5.0,
@@ -160,13 +160,19 @@ def langevin_trajectory(
       (sum-of-sinusoids) structure, so linear predictors degrade within
       steps. Backbone bonds are stiff harmonic springs; a weak harmonic
       tether to the base fold (``k_center``) keeps the chain bounded.
-    - **acceleration dominates noise per frame**: BAOAB integration with
-      small friction/temperature puts the per-frame stochastic kick
-      (~1e-3 A) two orders below the per-frame force correction
-      (~1e-2 A), itself well below the per-frame drift (~1e-1 A). So
-      copy-last pays |v dt|, extrapolation pays |a dt^2|, and a model
-      that learns the force field can approach the noise floor —
-      the separation every quality gate needs.
+    - **moderate friction bounds error integration** (round-5 retune,
+      measured via ``tools/langevin_floor.py``): at the original
+      friction 0.02 the system is ballistic — injected noise (and
+      therefore ANY forecaster's per-step error) integrates ~t^3,
+      amplifying 580x from step 1 to step 10, so no practical model
+      could hold its 1-step advantage to the gate horizons. At
+      friction 0.5 / kT 0.15 velocity decorrelates in ~40 steps:
+      copy-last's MSE exceeds the optimal-forecast bound by ~8x at
+      step 10 and ~2x at step 100 (the committed floor artifact), and
+      constant-velocity extrapolation is 3-4x worse than copy-last at
+      step 10 and ~20x at step 100 — both trivial forecasters fail
+      visibly while a force-learning model has real, quantified
+      headroom at every gate horizon.
     - **Markov-learnable**: forces depend only on current positions, and
       velocity is recoverable from any two window frames; the
       edge-conditioned conv sees exactly the pair distances the forces

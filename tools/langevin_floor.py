@@ -5,9 +5,10 @@ two-realization divergence E||x_a - x_b||^2 at each horizon — twice the
 variance any deterministic forecaster can be charged with, so HALF these
 numbers bound the best achievable rollout MSE. Establishes that the
 benchmark is winnable where the trivial forecasters fail: at the round-5
-defaults the step-100 floor (~0.19, optimal ~0.095) sits 5-10x below
-copy-last (0.943) and ~70x below extrapolation (13.8), with ~100x
-headroom at step 10. Mirrors the role of the reference's real-MD rollout
+defaults (friction 0.5, kT 0.15 — retuned from the ballistic
+friction 0.02 whose t^3 noise integration made long-horizon wins
+structurally impossible) copy-last exceeds the optimal bound ~8x at
+step 10 and ~2x at step 100, and extrapolation is 3-20x worse again. Mirrors the role of the reference's real-MD rollout
 evaluation (bba_analysis.ipynb cells 19-23) for the synthetic family
 that replaces it here (/root/reference/dataset.py:110-127 loads real
 1FME MD, unavailable in this environment).
@@ -28,7 +29,7 @@ import numpy as np
 from molecular_dynamics_neural_operator_tpu.data.synthetic import _chain_params
 
 
-def divergence(seed=11, R=28, dt=0.05, friction=0.02, kT=0.5,
+def divergence(seed=11, R=28, dt=0.05, friction=0.5, kT=0.15,
                eps_well=2.0, well_width=1.0, k_backbone=5.0,
                k_center=0.02, network_cutoff=10.0, burn_in=1000,
                fork_at=3000, horizon=100, fork_seeds=(123, 456)):
