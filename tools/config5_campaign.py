@@ -362,6 +362,18 @@ def main():
                       dtype=np.float32)[:, None, None]
     extrap = frozen[None] + (frozen - prev)[None] * ahead
     extrap_mses = np.mean((extrap - truth) ** 2, axis=(1, 2))
+    # third honesty bar when a damped prior is configured: the model's
+    # OWN prior rolled out headless (closed-form geometric velocity
+    # contraction, rollout/baseline.py::damped_extrapolation_baseline —
+    # recomputed inline so the 1e8-entry contact maps stay sampled)
+    prior_mses = None
+    if args.predict_prior == "extrapolate" and args.prior_damping != 1.0:
+        g = args.prior_damping
+        kk = np.arange(1, args.rollout_steps + 1, dtype=np.float64)
+        coef = (g * (1.0 - g ** kk) / (1.0 - g)).astype(np.float32)
+        prior_pred = frozen[None] + (frozen - prev)[None] * coef[:, None,
+                                                                 None]
+        prior_mses = np.mean((prior_pred - truth) ** 2, axis=(1, 2))
     fin = int(np.isfinite(coords).all(axis=(1, 2)).sum())
 
     # sampled-pair contact accuracy (full (R, R) maps are 1e8 entries)
@@ -423,6 +435,16 @@ def main():
             "sampled_contact_accuracy_model": acc_model,
             "sampled_contact_accuracy_baseline": acc_base,
             "sampled_contact_accuracy_extrapolation": acc_extrap,
+            **({
+                "prior_only_coord_mse": {
+                    f"step{s}": at(prior_mses, s)
+                    for s in (1, 10, 100, 200)},
+                "model_over_prior_only_mse": {
+                    f"step{s}": at(mses, s) / at(prior_mses, s)
+                    for s in (1, 10, 100, 200) if fin >= s},
+                "sampled_contact_accuracy_prior_only": float(np.mean(
+                    pair_contacts(prior_pred) == ct)),
+            } if prior_mses is not None else {}),
         },
         "total_seconds": round(time.time() - t_all0, 1),
     }
